@@ -1,0 +1,60 @@
+"""Deterministic dense docID assignment, scalable (no global sort).
+
+The reference keys documents by the composite string ``bagId/filePath``
+(Solr.scala:51); Lucene assigns its own internal dense docIDs. Our engine
+needs *deterministic* dense ids keyed by (repo, path, commit) so that
+BM25 tie-breaks (score desc, doc_id asc) are rank-identical across runs
+AND across cluster sizes (north_rule).
+
+``monotonically_increasing_id`` is partition-layout-dependent and a
+``row_number() OVER (ORDER BY ...)`` collapses to a single partition —
+both wrong at 10^12 rows. Instead, a two-pass prefix-sum scheme:
+
+  1. range-partition by the key and sort within partitions (a total
+     order split across P partitions — Spark's distributed sort, no
+     single-task bottleneck);
+  2. count rows per partition (tiny job), exclusive prefix-sum on the
+     driver (P integers);
+  3. doc_id = offset[partition] + (local row_number - 1).
+
+The id equals the row's global rank in (repo, path, commit) order, so it
+does NOT depend on where the range boundaries fell — RangePartitioner's
+sampled boundaries may differ between runs/cluster sizes, but rank is
+rank. Keys are unique, so no tie straddles a boundary ambiguously.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+KEY = ["repo", "path", "commit"]
+
+
+def assign_doc_ids(docs: DataFrame, num_partitions: int | None = None) -> DataFrame:
+    """Returns docs + ``doc_id bigint`` = dense global rank by KEY."""
+    if num_partitions is None:
+        num_partitions = max(docs.sparkSession.sparkContext.defaultParallelism, 8)
+    ranged = docs.repartitionByRange(num_partitions, *KEY).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    # persist so the pid observed by the count job and the rank job agree
+    ranged = ranged.persist()
+    counts = {r["_pid"]: r["cnt"] for r in
+              ranged.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()}
+    offsets, acc = {}, 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    spark = docs.sparkSession
+    off_df = spark.createDataFrame(
+        [(pid, off) for pid, off in offsets.items()] or [(0, 0)],
+        "_pid int, _offset long",
+    )
+    w = Window.partitionBy("_pid").orderBy(*KEY)
+    out = (
+        ranged.withColumn("_rn", F.row_number().over(w))
+        .join(F.broadcast(off_df), "_pid", "left")
+        .withColumn("doc_id", (F.coalesce("_offset", F.lit(0)) + F.col("_rn") - 1).cast("long"))
+        .drop("_pid", "_rn", "_offset")
+    )
+    return out

@@ -1,0 +1,113 @@
+"""Inverted-index build: the Spark-native replacement for what the
+reference delegates to Solr/Lucene (postings, df, doc lengths — implied
+by schema.xml:213,510-526 + BM25 default solrconfig.xml:39).
+
+Logical index tables (all derivable, all Catalyst-optimized):
+
+  docs_store(doc_id, repo, path, commit, lang, sha256, dl)
+      — stored fields + per-row content invariant (input_hint: sha256
+        equality vs source) + exact doc length (Lucene quantizes dl to
+        1 byte; we keep it exact, SURVEY.md §2.9 Q4).
+  tf(term, doc_id, tf, dl)
+      — one row per posting. groupBy(term, doc_id) is a partial+final
+        hash aggregate: map-side combine absorbs per-doc repetition, and
+        doc_id spreads hot terms across reducers (no skew at this stage).
+  termstats(term, df)
+      — document frequency per term.
+  scalars N (doc count incl. empty docs) and avgdl (mean dl incl. 0).
+
+The searchable token stream is tokenize(content) ++ tokenize(path) — the
+reference copies the file path into the catch-all ``text`` field
+(schema.xml:310) while dataset metadata stays filter-only (schema.xml:308);
+our metadata columns likewise stay plain filterable columns.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark import StorageLevel
+
+from ..functions.tokenizer import LUCENE_STOPWORDS, make_tokenize_udf, tokenize_expr
+from .docids import assign_doc_ids
+
+
+@dataclass(frozen=True)
+class IndexConfig:
+    k1: float = 1.2                    # Lucene BM25 defaults (solrconfig.xml:39)
+    b: float = 0.75
+    stopwords: tuple[str, ...] = LUCENE_STOPWORDS
+    include_path_tokens: bool = True   # schema.xml:310 copyField path -> text
+    use_arrow_tokenizer: bool = False  # pandas-UDF chain instead of codegen exprs
+    bucket_span: int = 4096            # doc_ids per posting block bucket (physical index)
+    term_buckets: int = 32             # hash-partition count of the physical index
+
+
+@dataclass
+class FtsIndex:
+    spark: SparkSession
+    config: IndexConfig
+    docs_store: DataFrame
+    tf: DataFrame
+    termstats: DataFrame
+    n_docs: int
+    avgdl: float
+    postings: DataFrame | None = None  # physical encoded blocks (see postings.py)
+
+    def unpersist(self) -> None:
+        for df in (self.docs_store, self.tf):
+            try:
+                df.unpersist()
+            except Exception:
+                pass
+
+
+def _searchable_text(config: IndexConfig):
+    if config.include_path_tokens:
+        return F.concat_ws(" ", F.col("content"), F.col("path"))
+    return F.col("content")
+
+
+def tokens_df(docs_with_ids: DataFrame, config: IndexConfig) -> DataFrame:
+    """(doc_id, tokens array<string>, dl int)"""
+    if config.use_arrow_tokenizer:
+        tok = make_tokenize_udf(config.stopwords)(_searchable_text(config))
+    else:
+        tok = tokenize_expr(_searchable_text(config), config.stopwords)
+    return docs_with_ids.select(
+        "doc_id", tok.alias("tokens")
+    ).withColumn("dl", F.size("tokens").cast("long"))
+
+
+def build_index(spark: SparkSession, docs: DataFrame, config: IndexConfig | None = None,
+                persist: bool = True) -> FtsIndex:
+    config = config or IndexConfig()
+    with_ids = assign_doc_ids(docs)
+
+    docs_store = with_ids.select(
+        "doc_id", "repo", "path", "commit", "lang",
+        F.sha2(F.col("content"), 256).alias("sha256"),
+    )
+    toks = tokens_df(with_ids, config)
+    docs_store = docs_store.join(toks.select("doc_id", "dl"), "doc_id")
+
+    tf = (
+        toks.select("doc_id", "dl", F.explode("tokens").alias("term"))
+        .groupBy("term", "doc_id", "dl")            # dl functionally dep. on doc_id — free key
+        .agg(F.count("*").alias("tf"))
+    )
+    if persist:
+        docs_store = docs_store.persist(StorageLevel.MEMORY_AND_DISK)
+        tf = tf.persist(StorageLevel.MEMORY_AND_DISK)
+
+    termstats = tf.groupBy("term").agg(F.count("*").alias("df"))
+
+    g = docs_store.agg(
+        F.count("*").alias("n"), F.avg("dl").alias("avgdl")
+    ).collect()[0]
+    n_docs = g["n"] or 0
+    avgdl = float(g["avgdl"] or 0.0)
+
+    return FtsIndex(spark=spark, config=config, docs_store=docs_store, tf=tf,
+                    termstats=termstats, n_docs=n_docs, avgdl=avgdl)

@@ -1,0 +1,140 @@
+"""Query-side: dismax-style free-text BM25 top-k + filter queries +
+pagination + match-all — the semantics of ``GET /filesearch``
+(reference: SearchServlet.scala:74-104) executed Spark-native.
+
+Semantics preserved from the reference:
+  * free text is analyzed with the SAME chain as indexing and the terms
+    are OR-combined with no field boosts (dismax over the single
+    catch-all field — SearchServlet.scala:79-88, solrconfig.xml:966-970),
+    so score = Σ over matched query terms of BM25(term, doc).
+  * absent text ⇒ match-all ``*:*`` (SearchServlet.scala:80): no
+    scoring, constant score 1.0, deterministic docID order.
+  * filters: within one key, values are OR-ed; across keys, AND-ed
+    (SearchServlet.scala:123-139, api.yml:134-136). Non-scoring, like fq.
+  * pagination start/rows = skip/limit (SearchServlet.scala:76-77,95-96);
+    defaults 0/10.
+  * tie-break: score desc, then doc_id asc (Lucene's internal-docID
+    tie-break; our doc_id is the deterministic (repo,path,commit) rank).
+
+BM25 (Lucene ≥6 defaults, k1=1.2 b=0.75 — solrconfig.xml:39, no
+<similarity> override in schema.xml:1218-1227):
+    idf(t)  = ln(1 + (N - df + 0.5)/(df + 0.5))
+    score   = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..functions.tokenizer import tokenize_py
+from .index_build import FtsIndex
+
+RESULT_COLS = ["repo", "path", "lang", "score"]
+
+
+def _idf_expr(n_docs: int) -> F.Column:
+    return F.log(1.0 + (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5))
+
+
+def _filters_expr(filters: dict[str, list[str]] | None):
+    """fq semantics: OR within a key, AND across keys (SearchServlet.scala:131-139)."""
+    if not filters:
+        return F.lit(True)
+    cond = F.lit(True)
+    for key, values in filters.items():
+        vals = values if isinstance(values, (list, tuple)) else [values]
+        cond = cond & F.col(key).isin(list(vals))
+    return cond
+
+
+def score_terms(index: FtsIndex, terms: list[str]) -> DataFrame:
+    """(doc_id, score) for every doc matching ≥1 query term — exact BM25.
+
+    Plan shape (scale notes): the term filter prunes the tf scan
+    (predicate pushdown on the physical index's term-bucket partitioning
+    — see postings.py); termstats for ≤ a handful of query terms is tiny
+    ⇒ broadcast join; groupBy(doc_id) is a partial+final hash agg whose
+    keys are near-unique ⇒ no skew.
+    """
+    k1, b = index.config.k1, index.config.b
+    uniq = sorted(set(terms))
+    ts = index.termstats.filter(F.col("term").isin(uniq)).withColumn("idf", _idf_expr(index.n_docs))
+    cand = index.tf.filter(F.col("term").isin(uniq)).join(F.broadcast(ts), "term")
+    avgdl = index.avgdl if index.avgdl > 0 else 1.0
+    contrib = (
+        F.col("idf")
+        * (F.col("tf") * (k1 + 1.0))
+        / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.lit(avgdl)))
+    )
+    return cand.groupBy("doc_id").agg(F.sum(contrib).alias("score"))
+
+
+def search(index: FtsIndex, text: str | None = None, k: int = 10, skip: int = 0,
+           filters: dict[str, list[str]] | None = None,
+           round_score: int | None = 4) -> DataFrame:
+    """Top-k result page as a DataFrame of RESULT_COLS (+ doc_id)."""
+    # param validation mirrors SearchServlet.scala:76-77 (invalid -> defaults)
+    k = k if isinstance(k, int) and k >= 1 else 10
+    skip = skip if isinstance(skip, int) and skip >= 0 else 0
+
+    fexpr = _filters_expr(filters)
+    store = index.docs_store.filter(fexpr)
+
+    if text is None:
+        # match-all *:* (SearchServlet.scala:80): constant score, docID order
+        page = (
+            store.orderBy(F.col("doc_id").asc())
+            .offset(skip).limit(k)
+            .withColumn("score", F.lit(1.0))
+        )
+        return page.select("doc_id", *RESULT_COLS)
+
+    terms = tokenize_py(text, index.config.stopwords)
+    if not terms:
+        # all tokens stopworded out ⇒ empty result (dismax with no clauses)
+        return (index.docs_store.withColumn("score", F.lit(0.0))
+                .select("doc_id", *RESULT_COLS).limit(0))
+
+    scores = score_terms(index, terms)
+    out = scores.join(store, "doc_id")  # fq intersection AFTER scoring = semijoin semantics
+    score_col = F.round(F.col("score"), round_score) if round_score is not None else F.col("score")
+    return (
+        out.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .offset(skip).limit(k)
+        .select("doc_id", "repo", "path", "lang", score_col.alias("score"))
+    )
+
+
+def num_found(index: FtsIndex, text: str | None = None,
+              filters: dict[str, list[str]] | None = None) -> int:
+    """Exact total hit count (Solr numFound, Solr.scala:92-99)."""
+    store = index.docs_store.filter(_filters_expr(filters))
+    if text is None:
+        return store.count()
+    terms = tokenize_py(text, index.config.stopwords)
+    if not terms:
+        return 0
+    matched = index.tf.filter(F.col("term").isin(sorted(set(terms)))).select("doc_id").distinct()
+    return matched.join(store, "doc_id").count()
+
+
+def search_envelope(index: FtsIndex, text: str | None = None, k: int = 10, skip: int = 0,
+                    filters: dict[str, list[str]] | None = None) -> str:
+    """JSON envelope shaped like the reference response
+    (Solr.scala:91-103,173-181; docs/api/api.yml:172-256)."""
+    rows = search(index, text, k, skip, filters).collect()
+    found = num_found(index, text, filters)
+    items = [
+        {"repo": r["repo"], "path": r["path"], "lang": r["lang"], "score": r["score"]}
+        for r in rows
+    ]
+    return json.dumps({
+        "summary": {
+            "text": text if text is not None else "*",
+            "skip": skip, "limit": k,
+            "found": found, "returned": len(items),
+        },
+        "fileitems": items,
+    })

@@ -1,0 +1,34 @@
+"""SparkSession factory with the engine's tuning defaults.
+
+Defaults are sized for the sandbox (single JVM, local[N]) but every
+setting is the one we'd ship to a 1000-executor cluster: AQE on (runtime
+re-plan + skew-join splitting), Arrow on (all our kernels are Arrow
+record-batch based), shuffle partitions sized to cores locally and to
+cluster parallelism in production.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app: str = "fts", cpus: int | None = None, shuffle_partitions: int | None = None) -> SparkSession:
+    if cpus is None:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    if shuffle_partitions is None:
+        shuffle_partitions = max(cpus, 8)
+    return (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .getOrCreate()
+    )

@@ -1,0 +1,111 @@
+"""Sources for the engine's canonical input table
+``docs(repo, path, commit, lang, content)`` (BASELINE.json input_hint).
+
+This is the analog of the reference's bag-store tree walk
+(Vault.scala:34-51 lists stores/bags, Bag.scala:66-68 lists files): one
+row = one file, uniquely keyed by (repo, path, commit), the way a Solr
+doc is keyed by ``<bagId>/<filePath>`` (Solr.scala:51).
+
+Two sources:
+  * ``load_docs`` — deterministic adapter over the driver-provided
+    ``documents.parquet`` (doc_id, text, lang, source, n_chars). The
+    mapping is pure SQL, replicated verbatim in oracle queries.
+  * ``synth_code_docs`` — seeded synthetic source-code corpus for unit
+    tests (camelCase/snake_case identifiers, language keyword pools,
+    Zipf-skewed hot terms; FIXTURES.md §1).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import random
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+DOCS_SCHEMA = "repo string, path string, commit string, lang string, content string"
+
+# The documents.parquet -> docs mapping, kept trivially SQL-expressible so
+# DuckDB oracles reconstruct identical rows:
+#   repo    = source
+#   path    = 'docs/' || lpad(doc_id, 8, '0') || '.txt'
+#   commit  = rpad(md5(source || ':' || doc_id), 40, '0')   (40-hex like git)
+#   lang    = lang
+#   content = coalesce(text, '')
+
+
+def load_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return d.select(
+        F.col("source").alias("repo"),
+        F.concat(F.lit("docs/"), F.lpad(F.col("doc_id").cast("string"), 8, "0"), F.lit(".txt")).alias("path"),
+        F.rpad(F.md5(F.concat(F.col("source"), F.lit(":"), F.col("doc_id").cast("string"))), 40, "0").alias("commit"),
+        F.col("lang"),
+        F.coalesce(F.col("text"), F.lit("")).alias("content"),
+    )
+
+
+DOCS_FROM_DOCUMENTS_SQL = """
+SELECT source AS repo,
+       'docs/' || lpad(CAST(doc_id AS VARCHAR), 8, '0') || '.txt' AS path,
+       rpad(md5(source || ':' || CAST(doc_id AS VARCHAR)), 40, '0') AS commit,
+       lang,
+       coalesce(text, '') AS content
+FROM documents
+"""
+
+_LANG_KEYWORDS = {
+    "java": ["public", "class", "void", "static", "final", "return", "new", "extends"],
+    "python": ["def", "class", "return", "import", "self", "lambda", "yield", "None"],
+    "scala": ["def", "val", "object", "trait", "case", "match", "implicit", "extends"],
+    "go": ["func", "package", "struct", "interface", "defer", "chan", "range", "nil"],
+    "text": ["license", "copyright", "permission", "notice", "software", "documentation"],
+}
+
+_IDENT_STEMS = [
+    "parse", "build", "index", "query", "token", "score", "merge", "block",
+    "read", "write", "fetch", "cache", "hash", "split", "filter", "count",
+]
+
+
+def _make_identifier(rng: random.Random) -> str:
+    parts = rng.sample(_IDENT_STEMS, rng.randint(2, 3))
+    style = rng.random()
+    if style < 0.4:  # camelCase
+        return parts[0] + "".join(p.capitalize() for p in parts[1:])
+    if style < 0.7:  # snake_case
+        return "_".join(parts)
+    return "-".join(parts)  # kebab-case
+
+
+def synth_code_docs(spark: SparkSession, n_docs: int = 400, seed: int = 7,
+                    n_repos: int = 6) -> DataFrame:
+    """Deterministic synthetic code corpus (FIXTURES.md §1). Content is a
+    pure function of (repo, path, commit, seed). Zipf-skews the token
+    'license' as the hot term to exercise skew handling."""
+    rows = []
+    langs = list(_LANG_KEYWORDS)
+    for i in range(n_docs):
+        rng = random.Random(f"{seed}:{i}")
+        repo = f"org{i % n_repos}/proj{(i // n_repos) % 3}"
+        lang = langs[i % len(langs)]
+        ext = {"java": "java", "python": "py", "scala": "scala", "go": "go", "text": "md"}[lang]
+        path = f"src/mod{i % 9}/File{i:04d}.{ext}"
+        commit = hashlib.sha1(f"{repo}:{i // 10}".encode()).hexdigest()
+        words: list[str] = []
+        # license-boilerplate header: stopword-heavy + the hot term
+        if rng.random() < 0.8:
+            words += ["license", "licensed", "under", "the", "apache", "license"]
+        body_len = rng.randint(20, 120) if rng.random() > 0.02 else 0
+        kw = _LANG_KEYWORDS[lang]
+        for _ in range(body_len):
+            r = rng.random()
+            if r < 0.3:
+                words.append(rng.choice(kw))
+            elif r < 0.7:
+                words.append(_make_identifier(rng))
+            elif r < 0.75:
+                words.append("license")  # hot term, Zipf head
+            else:
+                words.append(rng.choice(_IDENT_STEMS))
+        rows.append((repo, path, commit, lang, " ".join(words)))
+    return spark.createDataFrame(rows, DOCS_SCHEMA)
