@@ -1,38 +1,129 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)       — flagship BM25 top-k on sf0.001.
+queries()          — one callable per implemented operator (SURVEY.md §2).
+oracle_sql()       — DuckDB-equivalent SQL per query (the correctness gate).
+
+Engine: easy_solr4files_index_spark (see SURVEY.md for the reference map
+to DANS-KNAW/easy-solr4files-index). The documents parquet is adapted to
+the canonical docs(repo, path, commit, lang, content) shape by
+sources/docs_source.load_docs; oracle SQL replicates that adapter
+verbatim (oracle/duckdb_sql.PREFIX).
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from easy_solr4files_index_spark.functions.tokenizer import tokenize_py
+from easy_solr4files_index_spark.operators.index_build import FtsIndex, build_index
+from easy_solr4files_index_spark.operators.query import search
+from easy_solr4files_index_spark.operators.update import delete_by_repo
+from easy_solr4files_index_spark.oracle import duckdb_sql as osql
+from easy_solr4files_index_spark.sources.docs_source import load_docs
+
+_INDEX_CACHE: dict[tuple[int, str], FtsIndex] = {}
+
+
+def _index(spark: SparkSession, sf_dir: str) -> FtsIndex:
+    key = (id(spark), sf_dir)
+    if key not in _INDEX_CACHE:
+        _INDEX_CACHE[key] = build_index(spark, load_docs(spark, sf_dir))
+    return _INDEX_CACHE[key]
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: multi-term BM25 top-k over sf0.001."""
+    idx = _index(spark, "/root/testdata/sf0.001")
+    return search(idx, "spark join merge", k=10)
+
+
+# ---------------------------------------------------------------- queries
+
+# (text, k, skip, filters) per FIXTURES.md §2 coverage
+_SEARCHES: dict[str, tuple[str | None, int, int, dict | None]] = {
+    "fts_topk_single": ("dup", 10, 0, None),
+    "fts_topk_multi": ("spark join merge", 10, 0, None),
+    "fts_topk_hot": ("join", 15, 0, None),           # highest-df term: WAND stress
+    "fts_topk_filtered": ("table scan", 10, 0, {"lang": ["en"]}),
+    "fts_topk_filters2": ("query window", 10, 0, {"lang": ["de", "fr"], "repo": ["src0", "src1", "src2", "src3", "src4", "src5"]}),
+    "fts_topk_page": ("spark", 5, 3, None),
+    "fts_matchall_page": (None, 10, 5, {"lang": ["de"]}),
+}
+
+
+def _mk_search(params):
+    text, k, skip, filters = params
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return search(_index(spark, sf_dir), text, k=k, skip=skip, filters=filters)
+
+    return run
+
+
+def _q_numfound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    idx = _index(spark, sf_dir)
+    terms = sorted(set(tokenize_py("spark join")))
+    matched = idx.tf.filter(F.col("term").isin(terms)).select("doc_id").distinct()
+    return matched.join(idx.docs_store, "doc_id").agg(F.count("*").alias("found"))
+
+
+def _q_termstats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    idx = _index(spark, sf_dir)
+    return idx.termstats.filter(F.col("term").isin(["spark", "join", "dup", "customer"]))
+
+
+def _q_global_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    idx = _index(spark, sf_dir)
+    return idx.docs_store.agg(
+        F.count("*").alias("n_docs"), F.round(F.avg("dl"), 6).alias("avgdl"))
+
+
+def _q_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    idx = _index(spark, sf_dir)
+    return idx.docs_store.filter(F.col("repo") == "src3").select("doc_id", "repo", "path", "dl")
+
+
+def _q_sha256(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-row content invariant (input_hint: sha256 equality vs source)."""
+    idx = _index(spark, sf_dir)
+    return idx.docs_store.select("repo", "path", "sha256")
+
+
+def _q_delete_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """id:<bagId>* delete analog, then per-repo survivor counts."""
+    idx = delete_by_repo(_index(spark, sf_dir), "src0")
+    return idx.docs_store.groupBy("repo").agg(F.count("*").alias("cnt"))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    q: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+        name: _mk_search(p) for name, p in _SEARCHES.items()
+    }
+    q.update({
+        "fts_numfound": _q_numfound,
+        "fts_termstats": _q_termstats,
+        "fts_global_stats": _q_global_stats,
+        "fts_doc_stats": _q_doc_stats,
+        "fts_sha256": _q_sha256,
+        "fts_delete_prefix": _q_delete_prefix,
+    })
+    return q
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    out: dict[str, str] = {}
+    for name, (text, k, skip, filters) in _SEARCHES.items():
+        if text is None:
+            out[name] = osql.matchall_sql(k=k, skip=skip, filters=filters)
+        else:
+            out[name] = osql.bm25_topk_sql(tokenize_py(text), k=k, skip=skip, filters=filters)
+    out["fts_numfound"] = osql.numfound_sql(tokenize_py("spark join"))
+    out["fts_termstats"] = osql.termstats_sql(["spark", "join", "dup", "customer"])
+    out["fts_global_stats"] = osql.global_stats_sql()
+    out["fts_doc_stats"] = osql.doc_stats_sql("src3")
+    out["fts_sha256"] = osql.sha256_sql()
+    out["fts_delete_prefix"] = osql.delete_prefix_sql("src0")
+    return out

@@ -1,0 +1,67 @@
+"""Replicates the driver's correctness gate locally: every
+``__spark_entry__.queries()`` entry vs its ``oracle_sql()`` DuckDB twin
+at sf0.01 — row count, column names, and order-insensitive values."""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entrymod
+
+SF_DIR = "/root/testdata/sf0.01"
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+@pytest.fixture(scope="module")
+def ddb():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+    return con
+
+
+def _norm(rows, cols):
+    out = []
+    for row in rows:
+        vals = []
+        for c in sorted(cols):
+            v = row[c] if not isinstance(row, tuple) else row[cols.index(c)]
+            if isinstance(v, float):
+                v = round(v, 6) if not (math.isnan(v) or math.isinf(v)) else str(v)
+            vals.append(v)
+        out.append(tuple(vals))
+    return sorted(out, key=repr)
+
+
+NAMES = sorted(entrymod.queries())
+
+
+@pytest.mark.parametrize("name", NAMES)
+def test_parity(spark, ddb, name):
+    q = entrymod.queries()[name]
+    sql = entrymod.oracle_sql().get(name)
+    got_df = q(spark, SF_DIR)
+    got_cols = got_df.columns
+    got = [r.asDict() for r in got_df.collect()]
+    if sql is None:
+        assert len(got) >= 0  # rows-only check for non-SQL-expressible ops
+        return
+    oracle = ddb.execute(sql)
+    ocols = [d[0] for d in oracle.description]
+    orows = oracle.fetchall()
+    assert sorted(got_cols) == sorted(ocols), f"{name}: columns {got_cols} vs {ocols}"
+    assert len(got) == len(orows), f"{name}: rows {len(got)} vs {len(orows)}"
+    g = _norm(got, got_cols)
+    o = _norm(orows, ocols)
+    for i, (a, b) in enumerate(zip(g, o)):
+        assert a == b, f"{name}[{i}]: {a} != {b}"
+
+
+def test_entry_smoke(spark):
+    df = entrymod.entry(spark)
+    rows = df.collect()
+    assert len(rows) >= 0 and df.columns
