@@ -1,0 +1,292 @@
+"""Physical index: term-partitioned, block-compressed posting lists with
+block-max metadata, checkpoint-resumable build with per-partition lineage
+and metrics (BASELINE.json north_rule).
+
+Layout under ``<index_dir>/``:
+
+  docs_store/            parquet — doc_id, repo, path, commit, lang, sha256, dl
+  postings/tbucket=T/    parquet — term, bucket, n, doc_ids, tfs, dls, max_tfnorm
+  termstats/             parquet — term, df, tbucket
+  globals.json           N, avgdl, config, fingerprint
+  _lineage/              parquet — stage, partition_id, input_fingerprint,
+                                   status, started_at, finished_at
+  _metrics/              parquet — partition_id, rows_indexed, terms,
+                                   postings_bytes, skew_factor
+
+Physical design (why it scales):
+
+* A posting block row = one (term, bucket) where bucket = doc_id //
+  bucket_span. Buckets are doc_id RANGES, so blocks are globally
+  docID-sorted by construction — no per-term global sort — and a hot
+  term's postings spread across ~N/span blocks handled by different
+  reducers: the bucket IS the salt (explicit skew handling; the group
+  size is bounded by span regardless of df).
+* Blocks carry max_tfnorm = max over the block of the idf-free BM25
+  factor tf·(k1+1)/(tf+k1·(1−b+b·dl/avgdl)); query-time upper bound for
+  a block is idf·max_tfnorm — the block-max WAND pruning key.
+* ``tbucket = pmod(xxhash64(term), T)`` is the partition directory —
+  term lookups prune to 1 directory per query term (partition pruning
+  visible in the scan's PushedFilters).
+* doc lengths are denormalized into the block (vbyte), so scoring a
+  block is self-contained — no join against a doclen table at query
+  time (Lucene keeps norms per segment for the same reason).
+* Encoding runs inside ``applyInPandas`` keyed by (tbucket, bucket) —
+  a few thousand Arrow groups, each vector-encoding many terms, not one
+  Python call per term.
+
+Lineage/resume: postings are written in ``lineage_groups`` independent
+jobs (a contiguous range of tbuckets each) with dynamic partition
+overwrite; a killed build re-runs only groups without a ``done`` row
+whose fingerprint matches (reference analog: takeUntilFailure +
+commitAnyway keep completed work, package.scala:85-105,
+EasySolr4filesIndexApp.scala:54-78).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..functions.codec import encode_postings
+from .docids import assign_doc_ids
+from .index_build import FtsIndex, IndexConfig, tokens_df
+
+POSTINGS_SCHEMA = ("term string, bucket long, n int, doc_ids binary, tfs binary, "
+                   "dls binary, max_tfnorm double, tbucket int")
+
+
+def _tbucket(col, buckets: int):
+    return F.pmod(F.xxhash64(col), F.lit(buckets)).cast("int")
+
+
+def _fingerprint(docs_with_ids: DataFrame) -> str:
+    row = docs_with_ids.agg(
+        F.count("*").alias("n"),
+        F.expr("bit_xor(xxhash64(repo, path, commit))").alias("h"),
+    ).collect()[0]
+    return f"{row['n']}:{row['h']}"
+
+
+def _make_encoder(k1: float, b: float, avgdl: float):
+    avgdl = avgdl if avgdl > 0 else 1.0
+
+    def encode_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["term", "doc_id"], kind="stable")
+        ids = pdf["doc_id"].to_numpy(np.int64)
+        tfs = pdf["tf"].to_numpy(np.int64)
+        dls = pdf["dl"].to_numpy(np.int64)
+        tfnorm = tfs * (k1 + 1.0) / (tfs + k1 * (1.0 - b + b * dls / avgdl))
+        terms = pdf["term"].to_numpy(object)
+        # slice per term: boundaries where term changes
+        change = np.flatnonzero(np.concatenate(([True], terms[1:] != terms[:-1])))
+        bounds = np.append(change, terms.size)
+        tb = int(pdf["tbucket"].iloc[0])
+        bucket = int(pdf["bucket"].iloc[0])
+        rows = []
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            b_ids, b_tfs, b_dls = encode_postings(ids[s:e], tfs[s:e], dls[s:e])
+            rows.append((terms[s], bucket, int(e - s), b_ids, b_tfs, b_dls,
+                         float(tfnorm[s:e].max()), tb))
+        return pd.DataFrame(rows, columns=["term", "bucket", "n", "doc_ids",
+                                           "tfs", "dls", "max_tfnorm", "tbucket"])
+
+    return encode_group
+
+
+def postings_blocks(tf: DataFrame, avgdl: float, config: IndexConfig) -> DataFrame:
+    tfb = (
+        tf.withColumn("bucket", (F.col("doc_id") / config.bucket_span).cast("long"))
+        .withColumn("tbucket", _tbucket(F.col("term"), config.term_buckets))
+    )
+    return tfb.groupBy("tbucket", "bucket").applyInPandas(
+        _make_encoder(config.k1, config.b, avgdl), POSTINGS_SCHEMA)
+
+
+# ------------------------------------------------------------------ lineage
+
+def _lineage_path(index_dir: str) -> str:
+    return os.path.join(index_dir, "_lineage")
+
+
+def _append_lineage(spark: SparkSession, index_dir: str, stage: str, partition_id: int,
+                    fingerprint: str, status: str, started_at: float) -> None:
+    df = spark.createDataFrame(
+        [(stage, partition_id, fingerprint, status, float(started_at), time.time())],
+        "stage string, partition_id int, input_fingerprint string, status string, "
+        "started_at double, finished_at double")
+    df.coalesce(1).write.mode("append").parquet(_lineage_path(index_dir))
+
+
+def _done_set(spark: SparkSession, index_dir: str, fingerprint: str) -> set[tuple[str, int]]:
+    path = _lineage_path(index_dir)
+    try:
+        rows = (spark.read.parquet(path)
+                .filter((F.col("status") == "done") &
+                        (F.col("input_fingerprint") == fingerprint))
+                .select("stage", "partition_id").collect())
+    except Exception:
+        return set()
+    return {(r["stage"], r["partition_id"]) for r in rows}
+
+
+# ------------------------------------------------------------------- build
+
+@dataclass
+class BuildReport:
+    index_dir: str
+    fingerprint: str
+    n_docs: int
+    avgdl: float
+    stages_run: list[str]
+    stages_skipped: list[str]
+
+
+def write_index(spark: SparkSession, docs: DataFrame, index_dir: str,
+                config: IndexConfig | None = None, lineage_groups: int = 4,
+                fail_after_group: int | None = None) -> BuildReport:
+    """Build the physical index at ``index_dir``; resumable. ``fail_after_group``
+    injects a crash after that many postings groups (kill/resume tests)."""
+    config = config or IndexConfig()
+    os.makedirs(index_dir, exist_ok=True)
+    run, skipped = [], []
+
+    with_ids = assign_doc_ids(docs)
+    fingerprint = _fingerprint(with_ids)
+    done = _done_set(spark, index_dir, fingerprint)
+
+    toks = tokens_df(with_ids, config)
+    docs_store = (
+        with_ids.select("doc_id", "repo", "path", "commit", "lang",
+                        F.sha2(F.col("content"), 256).alias("sha256"))
+        .join(toks.select("doc_id", "dl"), "doc_id")
+    )
+
+    t0 = time.time()
+    if ("docs_store", 0) in done:
+        skipped.append("docs_store")
+    else:
+        docs_store.write.mode("overwrite").parquet(os.path.join(index_dir, "docs_store"))
+        _append_lineage(spark, index_dir, "docs_store", 0, fingerprint, "done", t0)
+        run.append("docs_store")
+
+    tf = (
+        toks.select("doc_id", "dl", F.explode("tokens").alias("term"))
+        .groupBy("term", "doc_id", "dl").agg(F.count("*").alias("tf"))
+        .persist()
+    )
+
+    g = spark.read.parquet(os.path.join(index_dir, "docs_store")).agg(
+        F.count("*").alias("n"), F.avg("dl").alias("avgdl")).collect()[0]
+    n_docs, avgdl = g["n"] or 0, float(g["avgdl"] or 0.0)
+
+    t0 = time.time()
+    if ("termstats", 0) in done:
+        skipped.append("termstats")
+    else:
+        (tf.groupBy("term").agg(F.count("*").alias("df"))
+         .withColumn("tbucket", _tbucket(F.col("term"), config.term_buckets))
+         .write.mode("overwrite").partitionBy("tbucket")
+         .parquet(os.path.join(index_dir, "termstats")))
+        _append_lineage(spark, index_dir, "termstats", 0, fingerprint, "done", t0)
+        run.append("termstats")
+
+    # postings, written group-by-group for per-partition lineage.
+    # The tbucket filter is applied BEFORE the applyInPandas encode (it
+    # cannot be pushed through an opaque UDF), so each group job encodes
+    # only its own share of tf.
+    tfb = (
+        tf.withColumn("bucket", (F.col("doc_id") / config.bucket_span).cast("long"))
+        .withColumn("tbucket", _tbucket(F.col("term"), config.term_buckets))
+        .persist()
+    )
+    encoder = _make_encoder(config.k1, config.b, avgdl)
+    groups = min(lineage_groups, config.term_buckets)
+    per_group = (config.term_buckets + groups - 1) // groups
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    for gi in range(groups):
+        lo, hi = gi * per_group, min((gi + 1) * per_group, config.term_buckets)
+        stage = ("postings", gi)
+        if stage in done:
+            skipped.append(f"postings:{gi}")
+            continue
+        t0 = time.time()
+        part = (tfb.filter((F.col("tbucket") >= lo) & (F.col("tbucket") < hi))
+                .groupBy("tbucket", "bucket")
+                .applyInPandas(encoder, POSTINGS_SCHEMA))
+        (part.write.mode("overwrite").partitionBy("tbucket")
+         .parquet(os.path.join(index_dir, "postings")))
+        # per-partition metrics (north_rule: rows, terms, bytes, skew factor)
+        m = (spark.read.parquet(os.path.join(index_dir, "postings"))
+             .filter((F.col("tbucket") >= lo) & (F.col("tbucket") < hi))
+             .groupBy("tbucket").agg(
+                 F.sum("n").alias("rows_indexed"),
+                 F.count_distinct("term").alias("terms"),
+                 F.sum(F.length("doc_ids") + F.length("tfs") + F.length("dls")).alias("postings_bytes"),
+                 (F.max("n") / F.avg("n")).alias("skew_factor"))
+             .withColumnRenamed("tbucket", "partition_id"))
+        m.coalesce(1).write.mode("append").parquet(os.path.join(index_dir, "_metrics"))
+        _append_lineage(spark, index_dir, "postings", gi, fingerprint, "done", t0)
+        run.append(f"postings:{gi}")
+        if fail_after_group is not None and gi + 1 >= fail_after_group:
+            tf.unpersist()
+            raise RuntimeError(f"injected failure after postings group {gi}")
+
+    tf.unpersist()
+    tfb.unpersist()
+
+    meta = {"n_docs": n_docs, "avgdl": avgdl, "fingerprint": fingerprint,
+            "k1": config.k1, "b": config.b, "bucket_span": config.bucket_span,
+            "term_buckets": config.term_buckets,
+            "stopwords": list(config.stopwords),
+            "include_path_tokens": config.include_path_tokens}
+    with open(os.path.join(index_dir, "globals.json"), "w") as fh:
+        json.dump(meta, fh)
+    return BuildReport(index_dir, fingerprint, n_docs, avgdl, run, skipped)
+
+
+# -------------------------------------------------------------------- load
+
+@dataclass
+class PhysicalIndex:
+    spark: SparkSession
+    index_dir: str
+    config: IndexConfig
+    n_docs: int
+    avgdl: float
+
+    @property
+    def docs_store(self) -> DataFrame:
+        return self.spark.read.parquet(os.path.join(self.index_dir, "docs_store"))
+
+    @property
+    def postings(self) -> DataFrame:
+        return self.spark.read.parquet(os.path.join(self.index_dir, "postings"))
+
+    @property
+    def termstats(self) -> DataFrame:
+        return self.spark.read.parquet(os.path.join(self.index_dir, "termstats"))
+
+    @property
+    def metrics(self) -> DataFrame:
+        return self.spark.read.parquet(os.path.join(self.index_dir, "_metrics"))
+
+    @property
+    def lineage(self) -> DataFrame:
+        return self.spark.read.parquet(os.path.join(self.index_dir, "_lineage"))
+
+
+def open_index(spark: SparkSession, index_dir: str) -> PhysicalIndex:
+    with open(os.path.join(index_dir, "globals.json")) as fh:
+        meta = json.load(fh)
+    config = IndexConfig(k1=meta["k1"], b=meta["b"],
+                         stopwords=tuple(meta["stopwords"]),
+                         include_path_tokens=meta["include_path_tokens"],
+                         bucket_span=meta["bucket_span"],
+                         term_buckets=meta["term_buckets"])
+    return PhysicalIndex(spark, index_dir, config, meta["n_docs"], meta["avgdl"])

@@ -1,0 +1,144 @@
+"""Distributed block-max top-k over the physical index.
+
+The reference's query path is Lucene's per-segment WAND traversal
+(top-k by BM25 is Solr's default sort; solrconfig.xml:780-855,
+SearchServlet.scala:78-103). A literal translation (a cursor walk over
+posting lists) is single-machine thinking; the Spark-native equivalent
+is BUCKET-LEVEL block-max pruning:
+
+  1. Partition-pruned scan: query terms hash to tbucket directories, so
+     the postings scan touches ≤ |terms| partitions, with the term
+     equality pushed to parquet (PushedFilters).
+  2. Upper bounds: each block row carries max_tfnorm; a bucket's bound
+     is UB(bucket) = Σ_terms idf·max_tfnorm — computable WITHOUT
+     decoding, from block metadata alone (block-max WAND's invariant).
+  3. Phase A: exactly score the top-P buckets by UB (distributed
+     TakeOrdered, P = max(4·(k+skip), 32)); the (k+skip)-th score is the
+     threshold τ.
+  4. Phase B: exactly score only remaining buckets with UB > τ — for
+     selective queries this prunes almost everything; for match-heavy
+     queries it degrades gracefully to exhaustive scoring (same as WAND).
+
+Decoding + scoring is a vectorized Arrow kernel (mapInPandas): each
+block decodes to numpy arrays and emits (doc_id, contrib) batches; the
+per-doc sum is a Catalyst hash aggregate. Correctness gate:
+tests/test_physical_index.py asserts rank-identity vs the logical path
+and the numpy oracle (WAND top-k == naive top-k, SURVEY.md §5.2.4).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+from ..functions.codec import varbyte_decode
+from ..functions.tokenizer import tokenize_py
+from .postings import PhysicalIndex, _tbucket
+from .query import _filters_expr
+
+
+def _idf(n_docs: int, df: int) -> float:
+    return math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+
+
+def _score_blocks(blocks: DataFrame, k1: float, b: float, avgdl: float) -> DataFrame:
+    """Decode blocks (term, n, doc_ids, tfs, dls, idf) -> (doc_id, score)."""
+    avgdl = avgdl if avgdl > 0 else 1.0
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            outs_ids, outs_contrib = [], []
+            for row in pdf.itertuples(index=False):
+                n = row.n
+                ids = np.cumsum(varbyte_decode(row.doc_ids, n), dtype=np.uint64)
+                tfs = varbyte_decode(row.tfs, n).astype(np.float64)
+                dls = varbyte_decode(row.dls, n).astype(np.float64)
+                contrib = row.idf * tfs * (k1 + 1.0) / (tfs + k1 * (1.0 - b + b * dls / avgdl))
+                outs_ids.append(ids.astype(np.int64))
+                outs_contrib.append(contrib)
+            if outs_ids:
+                yield pd.DataFrame({"doc_id": np.concatenate(outs_ids),
+                                    "contrib": np.concatenate(outs_contrib)})
+
+    exploded = blocks.select("n", "doc_ids", "tfs", "dls", "idf").mapInPandas(
+        kernel, "doc_id long, contrib double")
+    return exploded.groupBy("doc_id").agg(F.sum("contrib").alias("score"))
+
+
+def search_blockmax(index: PhysicalIndex, text: str | None = None, k: int = 10,
+                    skip: int = 0, filters: dict[str, list[str]] | None = None,
+                    round_score: int | None = 4, prune: bool = True) -> DataFrame:
+    """Top-k page over the physical index; result schema matches
+    operators.query.search (doc_id, repo, path, lang, score)."""
+    cfg = index.config
+    k = k if isinstance(k, int) and k >= 1 else 10
+    skip = skip if isinstance(skip, int) and skip >= 0 else 0
+    store = index.docs_store.filter(_filters_expr(filters))
+
+    if text is None:
+        return (store.orderBy(F.col("doc_id").asc()).offset(skip).limit(k)
+                .withColumn("score", F.lit(1.0))
+                .select("doc_id", "repo", "path", "lang", "score"))
+
+    terms = sorted(set(tokenize_py(text, cfg.stopwords)))
+    if not terms:
+        return (index.docs_store.withColumn("score", F.lit(0.0))
+                .select("doc_id", "repo", "path", "lang", "score").limit(0))
+
+    tbuckets = sorted({r["tbucket"] for r in
+                       index.spark.createDataFrame([(t,) for t in terms], "term string")
+                       .select(_tbucket(F.col("term"), cfg.term_buckets).alias("tbucket"))
+                       .collect()})
+    stats = {r["term"]: r["df"] for r in
+             index.termstats.filter(F.col("tbucket").isin(tbuckets) &
+                                    F.col("term").isin(terms)).collect()}
+    if not stats:
+        return (index.docs_store.withColumn("score", F.lit(0.0))
+                .select("doc_id", "repo", "path", "lang", "score").limit(0))
+    idf_df = index.spark.createDataFrame(
+        [(t, _idf(index.n_docs, dfc)) for t, dfc in stats.items()], "term string, idf double")
+
+    blocks = (index.postings
+              .filter(F.col("tbucket").isin(tbuckets) & F.col("term").isin(list(stats)))
+              .join(F.broadcast(idf_df), "term"))
+
+    def topk(scored: DataFrame) -> DataFrame:
+        out = scored.join(store, "doc_id")
+        sc = F.round(F.col("score"), round_score) if round_score is not None else F.col("score")
+        return (out.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+                .offset(skip).limit(k)
+                .select("doc_id", "repo", "path", "lang", sc.alias("score")))
+
+    if not prune:
+        return topk(_score_blocks(blocks, cfg.k1, cfg.b, index.avgdl))
+
+    # bucket-level block-max pruning
+    ub = blocks.groupBy("bucket").agg(
+        F.sum(F.col("idf") * F.col("max_tfnorm")).alias("ub"))
+    p = max(4 * (k + skip), 32)
+    hot = [r["bucket"] for r in ub.orderBy(F.col("ub").desc()).limit(p).collect()]
+    n_buckets = ub.count()
+
+    blocks = blocks.persist()
+    try:
+        phase_a = _score_blocks(blocks.filter(F.col("bucket").isin(hot)),
+                                cfg.k1, cfg.b, index.avgdl)
+        if n_buckets <= len(hot):
+            return topk(phase_a)
+        a_rows = (phase_a.join(store, "doc_id")
+                  .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+                  .limit(k + skip).collect())
+        tau = a_rows[-1]["score"] if len(a_rows) >= k + skip else float("-inf")
+        # survivors stay distributed (no driver collect of bucket ids):
+        # a doc's postings all live in its one bucket, so phases score
+        # disjoint doc sets and a plain union is exact.
+        rest_df = ub.filter(~F.col("bucket").isin(hot) & (F.col("ub") > tau)).select("bucket")
+        phase_b = _score_blocks(blocks.join(rest_df, "bucket"),
+                                cfg.k1, cfg.b, index.avgdl)
+        return topk(phase_a.unionByName(phase_b))
+    finally:
+        blocks.unpersist()

@@ -1,0 +1,134 @@
+"""Physical index: encode/write/load roundtrip, block-max WAND ==
+logical exact == numpy oracle, metrics/lineage invariants, kill/resume
+(SURVEY.md §5.2.3-5.2.4)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from easy_solr4files_index_spark.functions.codec import decode_postings
+from easy_solr4files_index_spark.operators.index_build import IndexConfig, build_index
+from easy_solr4files_index_spark.operators.postings import open_index, write_index
+from easy_solr4files_index_spark.operators.query import search
+from easy_solr4files_index_spark.operators.wand import search_blockmax
+from easy_solr4files_index_spark.oracle.bm25_oracle import build_oracle, oracle_search
+from easy_solr4files_index_spark.sources.docs_source import synth_code_docs
+
+CFG = IndexConfig(bucket_span=64, term_buckets=8)  # small span => many blocks
+
+
+@pytest.fixture(scope="module")
+def built(spark, tmp_path_factory):
+    docs = synth_code_docs(spark, n_docs=250, seed=23)
+    index_dir = str(tmp_path_factory.mktemp("fts") / "index")
+    report = write_index(spark, docs, index_dir, CFG, lineage_groups=4)
+    pidx = open_index(spark, index_dir)
+    lidx = build_index(spark, docs, CFG)
+    oracle = build_oracle([r.asDict() for r in docs.collect()])
+    yield pidx, lidx, oracle, report
+    lidx.unpersist()
+
+
+QUERIES = [
+    ("parse", 10, 0, None),
+    ("parse merge token", 10, 0, None),
+    ("license", 20, 0, None),                 # hot term: many blocks, prune path
+    ("buildIndex cache", 10, 0, None),
+    ("query score", 10, 0, {"lang": ["java", "python"]}),
+    ("merge", 5, 7, None),
+    (None, 10, 2, {"lang": ["go"]}),
+    ("the a an", 10, 0, None),
+    ("zzz_nonexistent_term", 10, 0, None),
+]
+
+
+@pytest.mark.parametrize("text,k,skip,filters", QUERIES)
+def test_wand_rank_identical(built, text, k, skip, filters):
+    pidx, lidx, oracle, _ = built
+    got = search_blockmax(pidx, text, k=k, skip=skip, filters=filters,
+                          round_score=None).collect()
+    exp = oracle_search(oracle, text, k=k, skip=skip, filters=filters)
+    assert [g["doc_id"] for g in got] == [e["doc_id"] for e in exp], text
+    assert [g["score"] for g in got] == pytest.approx([e["score"] for e in exp], rel=1e-9)
+
+
+@pytest.mark.parametrize("text,k", [("parse merge token", 10), ("license", 25)])
+def test_prune_equals_exhaustive(built, text, k):
+    pidx, *_ = built
+    a = search_blockmax(pidx, text, k=k, prune=True, round_score=None).collect()
+    b = search_blockmax(pidx, text, k=k, prune=False, round_score=None).collect()
+    assert [(r["doc_id"], r["score"]) for r in a] == [(r["doc_id"], r["score"]) for r in b]
+
+
+def test_postings_invariants(built):
+    """docID-sortedness inside blocks; df == Σ block n per term;
+    sha256 invariant vs source (input_hint)."""
+    pidx, lidx, oracle, _ = built
+    rows = pidx.postings.collect()
+    assert rows
+    for r in rows[:200]:
+        ids, tfs, dls = decode_postings(r["doc_ids"], r["tfs"], r["dls"], r["n"])
+        assert np.all(np.diff(ids.astype(np.int64)) > 0), "doc_ids must be strictly sorted"
+        assert tfs.min() >= 1
+        span_lo = r["bucket"] * pidx.config.bucket_span
+        assert span_lo <= ids.min() and ids.max() < span_lo + pidx.config.bucket_span
+    # df consistency
+    import pyspark.sql.functions as F
+    per_term = pidx.postings.groupBy("term").agg(F.sum("n").alias("n")).collect()
+    df_map = {r["term"]: r["df"] for r in pidx.termstats.collect()}
+    for r in per_term:
+        assert df_map[r["term"]] == r["n"], r["term"]
+    # sha256 equality between physical store and logical store
+    mismatch = (pidx.docs_store.select("doc_id", "sha256")
+                .join(lidx.docs_store.select("doc_id", F.col("sha256").alias("s2")), "doc_id")
+                .filter("sha256 <> s2").count())
+    assert mismatch == 0
+
+
+def test_metrics_and_lineage(built):
+    pidx, lidx, _, report = built
+    import pyspark.sql.functions as F
+    m = pidx.metrics
+    assert m.count() > 0
+    total_postings = m.agg(F.sum("rows_indexed")).collect()[0][0]
+    assert total_postings == lidx.tf.count()
+    assert m.filter("skew_factor >= 1.0").count() == m.count()
+    stages = {(r["stage"], r["partition_id"]) for r in pidx.lineage.collect()}
+    assert ("docs_store", 0) in stages and ("termstats", 0) in stages
+    assert {s for s, _ in stages} == {"docs_store", "termstats", "postings"}
+
+
+def test_kill_resume_identical(spark, tmp_path):
+    """kill after 2 postings groups; resume; final index equals an
+    uninterrupted build (checkpoint-resume, north_rule)."""
+    docs = synth_code_docs(spark, n_docs=120, seed=31)
+    d1, d2 = str(tmp_path / "a"), str(tmp_path / "b")
+    with pytest.raises(RuntimeError, match="injected failure"):
+        write_index(spark, docs, d1, CFG, lineage_groups=4, fail_after_group=2)
+    report = write_index(spark, docs, d1, CFG, lineage_groups=4)  # resume
+    assert report.stages_skipped  # completed work was not redone
+    assert any(s.startswith("postings") for s in report.stages_skipped)
+    write_index(spark, docs, d2, CFG, lineage_groups=4)
+    a, b = open_index(spark, d1), open_index(spark, d2)
+
+    def canon(pidx):
+        return sorted(
+            (r["term"], r["bucket"], r["n"], bytes(r["doc_ids"]), bytes(r["tfs"]),
+             bytes(r["dls"]), round(r["max_tfnorm"], 12))
+            for r in pidx.postings.collect())
+
+    assert canon(a) == canon(b)
+    assert a.n_docs == b.n_docs and a.avgdl == b.avgdl
+    got = search_blockmax(a, "parse merge", k=10, round_score=None).collect()
+    exp = search_blockmax(b, "parse merge", k=10, round_score=None).collect()
+    assert [(r["doc_id"], r["score"]) for r in got] == [(r["doc_id"], r["score"]) for r in exp]
+
+
+def test_physical_matches_logical_on_testdata(spark, built):
+    pidx, lidx, oracle, _ = built
+    for text in ["parse", "license merge"]:
+        a = search_blockmax(pidx, text, k=10, round_score=None).collect()
+        b = search(lidx, text, k=10, round_score=None).collect()
+        assert [(r["doc_id"],) for r in a] == [(r["doc_id"],) for r in b]
+        assert [r["score"] for r in a] == pytest.approx([r["score"] for r in b], rel=1e-12)
