@@ -17,6 +17,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from easy_solr4files_index_spark.functions import dedup, multimodal, similarity, textstats
 from easy_solr4files_index_spark.functions.tokenizer import tokenize_py
 from easy_solr4files_index_spark.operators.index_build import FtsIndex, build_index
 from easy_solr4files_index_spark.operators.query import search
@@ -98,6 +99,65 @@ def _q_delete_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return idx.docs_store.groupBy("repo").agg(F.count("*").alias("cnt"))
 
 
+def _docs_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+# training-data pipeline ops (dedup / similarity / text analysis /
+# multimodal) — directly over the raw documents/embeddings tables
+def _q_dedup_exact(spark, sf_dir):
+    return dedup.exact_dup_groups(_docs_raw(spark, sf_dir))
+
+
+def _q_dedup_jaccard(spark, sf_dir):
+    return dedup.ngram_jaccard_pairs(_docs_raw(spark, sf_dir), threshold=0.6)
+
+
+def _q_dedup_minhash(spark, sf_dir):
+    return dedup.minhash_band_candidates(_docs_raw(spark, sf_dir))
+
+
+def _q_dedup_simhash(spark, sf_dir):
+    return dedup.simhash32(_docs_raw(spark, sf_dir))
+
+
+def _q_ts_token_count(spark, sf_dir):
+    return textstats.token_counts(_docs_raw(spark, sf_dir))
+
+
+def _q_ts_quality(spark, sf_dir):
+    return textstats.quality_scores(_docs_raw(spark, sf_dir))
+
+
+def _q_ts_langid(spark, sf_dir):
+    return textstats.lang_id(_docs_raw(spark, sf_dir))
+
+
+def _q_ts_fingerprint(spark, sf_dir):
+    return textstats.fingerprints(_docs_raw(spark, sf_dir))
+
+
+def _q_ann_cosine(spark, sf_dir):
+    return similarity.cosine_topk(_emb(spark, sf_dir), [0, 1, 2], k=5)
+
+
+def _q_ann_ivf(spark, sf_dir):
+    return similarity.ivf_assign(_emb(spark, sf_dir), n_centroids=8)
+
+
+def _q_ann_signlsh(spark, sf_dir):
+    return similarity.signlsh_buckets(_emb(spark, sf_dir), n_planes=4)
+
+
+def _q_mm_decode(spark, sf_dir):
+    return multimodal.decode_features(
+        multimodal.attach_binary_payload(_docs_raw(spark, sf_dir)))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         name: _mk_search(p) for name, p in _SEARCHES.items()
@@ -109,6 +169,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fts_doc_stats": _q_doc_stats,
         "fts_sha256": _q_sha256,
         "fts_delete_prefix": _q_delete_prefix,
+        "dedup_exact_groups": _q_dedup_exact,
+        "dedup_ngram_jaccard": _q_dedup_jaccard,
+        "dedup_minhash_lsh": _q_dedup_minhash,
+        "dedup_simhash": _q_dedup_simhash,
+        "ts_token_count": _q_ts_token_count,
+        "ts_quality": _q_ts_quality,
+        "ts_langid": _q_ts_langid,
+        "ts_fingerprint": _q_ts_fingerprint,
+        "ann_cosine_topk": _q_ann_cosine,
+        "ann_ivf_assign": _q_ann_ivf,
+        "ann_signlsh_buckets": _q_ann_signlsh,
+        "mm_decode_stub": _q_mm_decode,
     })
     return q
 
@@ -126,4 +198,16 @@ def oracle_sql() -> dict[str, str]:
     out["fts_doc_stats"] = osql.doc_stats_sql("src3")
     out["fts_sha256"] = osql.sha256_sql()
     out["fts_delete_prefix"] = osql.delete_prefix_sql("src0")
+    out["dedup_exact_groups"] = dedup.exact_dup_groups_sql()
+    out["dedup_ngram_jaccard"] = dedup.ngram_jaccard_pairs_sql(threshold=0.6)
+    out["dedup_minhash_lsh"] = dedup.minhash_band_candidates_sql()
+    out["dedup_simhash"] = dedup.simhash32_sql()
+    out["ts_token_count"] = textstats.token_counts_sql()
+    out["ts_quality"] = textstats.quality_scores_sql()
+    out["ts_langid"] = textstats.lang_id_sql()
+    out["ts_fingerprint"] = textstats.fingerprints_sql()
+    out["ann_cosine_topk"] = similarity.cosine_topk_sql([0, 1, 2], k=5)
+    out["ann_ivf_assign"] = similarity.ivf_assign_sql(n_centroids=8)
+    out["ann_signlsh_buckets"] = similarity.signlsh_buckets_sql(n_planes=4)
+    out["mm_decode_stub"] = multimodal.decode_features_sql()
     return out

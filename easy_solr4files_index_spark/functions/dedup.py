@@ -1,0 +1,214 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash.
+
+First-class training-data-pipeline ops over the ``documents`` table.
+All heavy lifting is Catalyst (list exprs + joins + hash aggregates);
+nothing here uses per-row Python. Each op has a DuckDB-SQL twin.
+
+Scale notes:
+  * exact: groupBy(md5) — partial agg, no skew (hashes are uniform).
+  * ngram-Jaccard: shingle self-join; exact but O(pairs-sharing-a-
+    shingle) — the brute-force baseline. At 100 TB use minhash_lsh to
+    generate candidates first, then verify candidates with this.
+  * MinHash+LSH: 32 perms × 8 bands × 4 rows; candidates = equal band
+    signature. Everything is a hash groupBy; hot bands (boilerplate
+    shingle sets) are bounded by banding.
+  * SimHash: 32-bit, tf-weighted; one explode over (doc×bit) then a
+    hash agg — embarrassingly parallel.
+
+Shingling/tokens use the UNFILTERED analyzer stream (no stopword
+removal) — dedup must stay faithful to content, unlike search.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from .textstats import MD5INT_DUCK, MD5INT_SPARK
+from .tokenizer import tokenize_duckdb_sql, tokenize_expr
+
+P31 = 2147483647  # 2^31 - 1 (Mersenne prime) — minhash modulus
+N_PERMS, N_BANDS = 32, 8  # 4 rows per band
+
+_rng = random.Random(1234)
+PERMS = [(i, _rng.randrange(1, P31), _rng.randrange(0, P31)) for i in range(N_PERMS)]
+
+
+# ------------------------------------------------------------------ exact
+
+def exact_dup_groups(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(content_md5, cnt, min_doc_id) per distinct content — cnt > 1 ⇒ dups."""
+    return (docs.groupBy(F.md5(F.coalesce(F.col(text_col), F.lit(""))).alias("content_md5"))
+            .agg(F.count("*").alias("cnt"), F.min("doc_id").alias("keep_doc_id")))
+
+
+def exact_dup_groups_sql() -> str:
+    return """
+SELECT md5(coalesce(text, '')) AS content_md5,
+       count(*) AS cnt, min(doc_id) AS keep_doc_id
+FROM documents GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------- shingles
+
+def _shingles(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, sh) — DISTINCT 3-gram token shingles."""
+    toks = tokenize_expr(F.coalesce(F.col(text_col), F.lit("")), stopwords=())
+    sh = F.expr(
+        "CASE WHEN size(t) >= 3 THEN transform(sequence(0, size(t) - 3), "
+        "i -> concat(t[i], ' ', t[i+1], ' ', t[i+2])) "
+        "ELSE cast(array() as array<string>) END")
+    return (docs.select("doc_id", toks.alias("t"))
+            .select("doc_id", F.explode(F.array_distinct(sh)).alias("sh")))
+
+
+_SHINGLES_SQL = """
+tok AS (
+  SELECT doc_id, list_filter({tok}, t -> t <> '') AS l FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(range(1, len(l) - 1),
+                i -> l[i] || ' ' || l[i + 1] || ' ' || l[i + 2]))) AS sh
+  FROM tok WHERE len(l) >= 3
+)
+"""
+
+
+def _shingles_sql() -> str:
+    return _SHINGLES_SQL.format(tok=tokenize_duckdb_sql("text"))
+
+
+# ------------------------------------------------------------ ngram jaccard
+
+def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.6,
+                        text_col: str = "text") -> DataFrame:
+    """(a, b, jaccard) for doc pairs with 3-gram shingle Jaccard ≥ threshold."""
+    sh = _shingles(docs, text_col).persist()
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    inter = (sh.alias("x").join(sh.alias("y"),
+                                (F.col("x.sh") == F.col("y.sh")) &
+                                (F.col("x.doc_id") < F.col("y.doc_id")))
+             .groupBy(F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b"))
+             .agg(F.count("*").alias("inter")))
+    out = (inter
+           .join(sizes.withColumnRenamed("doc_id", "a").withColumnRenamed("n", "na"), "a")
+           .join(sizes.withColumnRenamed("doc_id", "b").withColumnRenamed("n", "nb"), "b")
+           .withColumn("jaccard", F.round(F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 6))
+           .filter(F.col("jaccard") >= threshold)
+           .select("a", "b", "jaccard"))
+    return out
+
+
+def ngram_jaccard_pairs_sql(threshold: float = 0.6) -> str:
+    return f"""
+WITH {_shingles_sql()},
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+inter AS (
+  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS inter
+  FROM sh x JOIN sh y ON x.sh = y.sh AND x.doc_id < y.doc_id
+  GROUP BY 1, 2
+)
+SELECT a, b, round(inter * 1.0 / (sa.n + sb.n - inter), 6) AS jaccard
+FROM inter JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
+WHERE inter * 1.0 / (sa.n + sb.n - inter) >= {threshold}
+"""
+
+
+# ------------------------------------------------------------- minhash LSH
+
+def minhash_signatures(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, perm, mh) — 32 permutations h_i(x) = (a_i·x + b_i) mod (2^31−1)."""
+    spark = docs.sparkSession
+    perms = spark.createDataFrame(PERMS, "perm int, a long, b long")
+    sh = _shingles(docs, text_col)
+    x = F.expr(MD5INT_SPARK.format(x="sh")) % F.lit(P31)
+    return (sh.withColumn("x", x).crossJoin(F.broadcast(perms))
+            .withColumn("h", (F.col("a") * F.col("x") + F.col("b")) % F.lit(P31))
+            .groupBy("doc_id", "perm").agg(F.min("h").alias("mh")))
+
+
+def minhash_band_candidates(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(a, b) candidate near-dup pairs: ≥1 equal LSH band signature."""
+    mh = minhash_signatures(docs, text_col)
+    bands = (mh.withColumn("band", (F.col("perm") / (N_PERMS // N_BANDS)).cast("int"))
+             .groupBy("doc_id", "band")
+             .agg(F.md5(F.concat_ws(",", F.transform(
+                 F.array_sort(F.collect_list(F.struct("perm", "mh"))),
+                 lambda s: s["mh"].cast("string")))).alias("sig")))
+    return (bands.alias("x").join(
+        bands.alias("y"),
+        (F.col("x.band") == F.col("y.band")) & (F.col("x.sig") == F.col("y.sig")) &
+        (F.col("x.doc_id") < F.col("y.doc_id")))
+        .select(F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b"))
+        .distinct())
+
+
+def _perms_values_sql() -> str:
+    return ", ".join(f"({i}, {a}, {b})" for i, a, b in PERMS)
+
+
+def minhash_band_candidates_sql() -> str:
+    rows_per_band = N_PERMS // N_BANDS
+    md5i = MD5INT_DUCK.format(x="sh")
+    return f"""
+WITH {_shingles_sql()},
+perms(perm, a, b) AS (VALUES {_perms_values_sql()}),
+mh AS (
+  SELECT s.doc_id, p.perm,
+         min((p.a * ({md5i} % {P31}) + p.b) % {P31}) AS mh
+  FROM sh s CROSS JOIN perms p
+  GROUP BY 1, 2
+),
+bands AS (
+  SELECT doc_id, CAST(perm // {rows_per_band} AS INT) AS band,
+         md5(string_agg(CAST(mh AS VARCHAR), ',' ORDER BY perm)) AS sig
+  FROM mh GROUP BY 1, 2
+)
+SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+FROM bands x JOIN bands y
+  ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id
+"""
+
+
+# ----------------------------------------------------------------- simhash
+
+def simhash32(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, simhash) — 32-bit tf-weighted SimHash over analyzer tokens."""
+    toks = tokenize_expr(F.coalesce(F.col(text_col), F.lit("")), stopwords=())
+    tf = (docs.select("doc_id", F.explode(toks).alias("term"))
+          .groupBy("doc_id", "term").agg(F.count("*").alias("tf")))
+    x32 = F.expr(MD5INT_SPARK.format(x="term")) % F.lit(4294967296)
+    bits = (tf.withColumn("x", x32)
+            .select("doc_id", "tf", "x", F.explode(F.sequence(F.lit(0), F.lit(31))).alias("j"))
+            .withColumn("w", F.col("tf") * (2 * F.expr("shiftright(x, j) & 1") - 1))
+            .groupBy("doc_id", "j").agg(F.sum("w").alias("s")))
+    sig = (bits.withColumn("bit", F.when(F.col("s") > 0, F.expr("shiftleft(cast(1 as bigint), j)")).otherwise(F.lit(0)))
+           .groupBy("doc_id").agg(F.sum("bit").alias("simhash")))
+    return docs.select("doc_id").join(sig, "doc_id", "left").fillna({"simhash": 0})
+
+
+def simhash32_sql() -> str:
+    md5i = MD5INT_DUCK.format(x="term")
+    tok = tokenize_duckdb_sql("text")
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(list_filter({tok}, t -> t <> '')) AS term FROM documents
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+bits AS (
+  SELECT tf.doc_id, j.j,
+         sum(tf.tf * (2 * ((({md5i} % 4294967296) >> j.j) % 2) - 1)) AS s
+  FROM tf CROSS JOIN (SELECT unnest(range(0, 32)) AS j) j
+  GROUP BY 1, 2
+),
+sig AS (
+  SELECT doc_id,
+         sum(CASE WHEN s > 0 THEN CAST(1 AS BIGINT) << j ELSE 0 END) AS simhash
+  FROM bits GROUP BY 1
+)
+SELECT d.doc_id, coalesce(sig.simhash, 0) AS simhash
+FROM documents d LEFT JOIN sig USING (doc_id)
+"""

@@ -1,0 +1,147 @@
+"""Similarity search over embedding columns (array<float>):
+brute-force cosine top-k (exact baseline) + IVF-style cluster pruning
+(the scale path) + sign-LSH bucketing.
+
+Spark-first: dot products are `F.zip_with` + `F.aggregate` (JVM
+codegen, no Python); top-k per query is a window rank — at 100 TB the
+query side is tiny (broadcast) and the corpus scan is embarrassingly
+parallel. IVF assignment is a crossJoin against ≤ a few hundred
+broadcast centroids, rank-1 per vector — shuffle-free except the final
+aggregate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _norm(a):
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def _as_double(col):
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def cosine_topk(emb: DataFrame, query_ids: list[int], k: int = 5,
+                vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
+    """(query_id, neighbor_id, cos, rank) — exact brute-force cosine top-k.
+    Queries are broadcast; corpus scan is a single pass."""
+    q = (emb.filter(F.col(id_col).isin(query_ids))
+         .select(F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")))
+    c = emb.select(F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("v"))
+    pairs = (c.crossJoin(F.broadcast(q))
+             .filter(F.col("neighbor_id") != F.col("query_id"))
+             .withColumn("cos", F.round(
+                 _dot(F.col("qv"), F.col("v")) / (_norm(F.col("qv")) * _norm(F.col("v"))), 6)))
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id").asc())
+    return (pairs.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "cos", "rank"))
+
+
+def cosine_topk_sql(query_ids: list[int], k: int = 5) -> str:
+    ids = ", ".join(str(i) for i in query_ids)
+    return f"""
+WITH flat AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+         CAST(unnest(embedding) AS DOUBLE) AS x
+  FROM embeddings
+),
+q AS (SELECT vec_id AS query_id, i, x AS qx FROM flat WHERE vec_id IN ({ids})),
+dots AS (
+  SELECT q.query_id, f.vec_id AS neighbor_id,
+         sum(q.qx * f.x) AS dot,
+         sqrt(sum(q.qx * q.qx)) AS nq, sqrt(sum(f.x * f.x)) AS nv
+  FROM flat f JOIN q ON q.i = f.i AND f.vec_id <> q.query_id
+  GROUP BY 1, 2
+)
+SELECT query_id, neighbor_id, round(dot / (nq * nv), 6) AS cos,
+       CAST(row_number() OVER (PARTITION BY query_id
+            ORDER BY dot / (nq * nv) DESC, neighbor_id) AS INT) AS rank
+FROM dots
+QUALIFY rank <= {k}
+"""
+
+
+def ivf_assign(emb: DataFrame, n_centroids: int = 8,
+               vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
+    """Assign every non-centroid vector to its max-cosine centroid
+    (centroids = the first ``n_centroids`` vec_ids — deterministic
+    stand-in for a k-means fit). Returns (centroid_id, cnt)."""
+    cent = (emb.filter(F.col(id_col) < n_centroids)
+            .select(F.col(id_col).alias("centroid_id"), _as_double(F.col(vec_col)).alias("cv")))
+    rest = (emb.filter(F.col(id_col) >= n_centroids)
+            .select(F.col(id_col).alias("vid"), _as_double(F.col(vec_col)).alias("v")))
+    pairs = (rest.crossJoin(F.broadcast(cent))
+             .withColumn("cos", _dot(F.col("cv"), F.col("v")) / (_norm(F.col("cv")) * _norm(F.col("v")))))
+    w = Window.partitionBy("vid").orderBy(F.col("cos").desc(), F.col("centroid_id").asc())
+    assign = pairs.withColumn("rn", F.row_number().over(w)).filter("rn = 1")
+    return assign.groupBy("centroid_id").agg(F.count("*").alias("cnt"))
+
+
+def ivf_assign_sql(n_centroids: int = 8) -> str:
+    return f"""
+WITH flat AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+         CAST(unnest(embedding) AS DOUBLE) AS x
+  FROM embeddings
+),
+cent AS (SELECT vec_id AS centroid_id, i, x AS cx FROM flat WHERE vec_id < {n_centroids}),
+dots AS (
+  SELECT f.vec_id AS vid, c.centroid_id,
+         sum(c.cx * f.x) / (sqrt(sum(c.cx * c.cx)) * sqrt(sum(f.x * f.x))) AS cos
+  FROM flat f JOIN cent c ON c.i = f.i
+  WHERE f.vec_id >= {n_centroids}
+  GROUP BY 1, 2
+),
+assign AS (
+  SELECT vid, centroid_id
+  FROM dots
+  QUALIFY row_number() OVER (PARTITION BY vid ORDER BY cos DESC, centroid_id) = 1
+)
+SELECT centroid_id, count(*) AS cnt FROM assign GROUP BY 1
+"""
+
+
+def signlsh_buckets(emb: DataFrame, n_planes: int = 4,
+                    vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
+    """Sign-LSH: bucket = sign bits of dot products with ``n_planes``
+    deterministic hyperplanes (the first n_planes vectors). Returns
+    (bucket, cnt) — the bucketed-ANN scale path's partitioning key."""
+    planes = (emb.filter(F.col(id_col) < n_planes)
+              .select(F.col(id_col).alias("pid"), _as_double(F.col(vec_col)).alias("pv")))
+    rest = (emb.filter(F.col(id_col) >= n_planes)
+            .select(F.col(id_col).alias("vid"), _as_double(F.col(vec_col)).alias("v")))
+    bit = F.when(_dot(F.col("pv"), F.col("v")) > 0,
+                 F.expr("shiftleft(cast(1 as bigint), cast(pid as int))")).otherwise(F.lit(0))
+    buckets = (rest.crossJoin(F.broadcast(planes))
+               .groupBy("vid").agg(F.sum(bit).alias("bucket")))
+    return buckets.groupBy("bucket").agg(F.count("*").alias("cnt"))
+
+
+def signlsh_buckets_sql(n_planes: int = 4) -> str:
+    return f"""
+WITH flat AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+         CAST(unnest(embedding) AS DOUBLE) AS x
+  FROM embeddings
+),
+planes AS (SELECT vec_id AS pid, i, x AS px FROM flat WHERE vec_id < {n_planes}),
+dots AS (
+  SELECT f.vec_id AS vid, p.pid, sum(p.px * f.x) AS dot
+  FROM flat f JOIN planes p ON p.i = f.i
+  WHERE f.vec_id >= {n_planes}
+  GROUP BY 1, 2
+),
+buckets AS (
+  SELECT vid, sum(CASE WHEN dot > 0 THEN CAST(1 AS BIGINT) << pid ELSE 0 END) AS bucket
+  FROM dots GROUP BY 1
+)
+SELECT bucket, count(*) AS cnt FROM buckets GROUP BY 1
+"""

@@ -1,0 +1,161 @@
+"""Text-analysis operators for training-data pipelines: token counting,
+quality scoring, language-ID heuristic, document fingerprinting.
+
+These extend the reference's per-file document model (a Solr doc per
+file, FileItem.scala:21-39) with the derived per-document features a
+100 TB corpus pipeline needs. Every op is a pure Catalyst expression
+(JVM codegen, no Python on the hot path) with a DuckDB-SQL twin for the
+correctness gate. They operate on the raw ``documents`` table
+(doc_id, text, lang, ...).
+
+Specs (shared Spark/DuckDB):
+  * token_count      — analyzer tokens (stopword-filtered) + whitespace words
+  * quality_score    — 0.4·alpha_ratio + 0.3·(1−stop_ratio) + 0.3·min(n_tok/100, 1)
+  * lang-ID          — marker-stopword hit counts per language, argmax with
+                       deterministic tie-break (de > fr require a strict win
+                       over en; default en)
+  * fingerprint      — order-insensitive content hash:
+                       bit_xor over tokens of md5int(term ':' tf)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from .tokenizer import LUCENE_STOPWORDS, stopword_not_in_sql, tokenize_duckdb_sql, tokenize_expr
+
+LANG_MARKERS = {
+    "en": ("the", "a", "and", "of", "to", "in", "is"),
+    "de": ("der", "die", "das", "und", "ist", "ein", "nicht"),
+    "fr": ("le", "la", "les", "et", "est", "un", "une"),
+}
+
+# md5-derived 56-bit int — identical in Spark (conv) and DuckDB (hex cast)
+MD5INT_SPARK = "cast(conv(substr(md5({x}), 1, 14), 16, 10) as bigint)"
+MD5INT_DUCK = "CAST(('0x' || substr(md5({x}), 1, 14)) AS BIGINT)"
+
+
+def _raw_tokens(col) -> Column:
+    """Unfiltered analyzer tokens (no stopword removal) — dedup/stat ops
+    stay faithful to content."""
+    return tokenize_expr(col, stopwords=())
+
+
+def token_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, n_tokens, n_ws): analyzer tokens vs whitespace words."""
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    n_tokens = F.size(tokenize_expr(t))
+    n_ws = F.when(F.trim(t) == "", F.lit(0)).otherwise(
+        F.size(F.split(F.trim(t), r"\s+")))
+    return docs.select("doc_id", n_tokens.alias("n_tokens"), n_ws.alias("n_ws"))
+
+
+def token_counts_sql() -> str:
+    tok = tokenize_duckdb_sql("text")
+    stop = ", ".join(f"'{w}'" for w in LUCENE_STOPWORDS)
+    return f"""
+SELECT doc_id,
+       len(list_filter({tok}, t -> t <> '' AND t NOT IN ({stop}))) AS n_tokens,
+       CASE WHEN trim(coalesce(text, '')) = '' THEN 0
+            ELSE len(string_split_regex(trim(coalesce(text, '')), '\\s+')) END AS n_ws
+FROM documents
+"""
+
+
+def quality_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    n_chars = F.length(t)
+    alpha = F.length(F.regexp_replace(t, "[^a-zA-Z]", "")) / F.greatest(n_chars, F.lit(1))
+    raw_n = F.size(_raw_tokens(t))
+    filt_n = F.size(tokenize_expr(t))
+    stop_ratio = (raw_n - filt_n) / F.greatest(raw_n, F.lit(1))
+    quality = (0.4 * alpha + 0.3 * (1.0 - stop_ratio)
+               + 0.3 * F.least(filt_n / F.lit(100.0), F.lit(1.0)))
+    return docs.select(
+        "doc_id", n_chars.alias("n_chars"),
+        F.round(alpha, 6).alias("alpha_ratio"),
+        F.round(stop_ratio, 6).alias("stop_ratio"),
+        F.round(quality, 6).alias("quality"),
+    )
+
+
+def quality_scores_sql() -> str:
+    tok = tokenize_duckdb_sql("text")
+    stop = ", ".join(f"'{w}'" for w in LUCENE_STOPWORDS)
+    return f"""
+WITH b AS (
+  SELECT doc_id,
+         length(coalesce(text, '')) AS n_chars,
+         length(regexp_replace(coalesce(text, ''), '[^a-zA-Z]', '', 'g'))
+           * 1.0 / greatest(length(coalesce(text, '')), 1) AS alpha,
+         len(list_filter({tok}, t -> t <> '')) AS raw_n,
+         len(list_filter({tok}, t -> t <> '' AND t NOT IN ({stop}))) AS filt_n
+  FROM documents
+)
+SELECT doc_id, n_chars,
+       round(alpha, 6) AS alpha_ratio,
+       round((raw_n - filt_n) * 1.0 / greatest(raw_n, 1), 6) AS stop_ratio,
+       round(0.4 * alpha + 0.3 * (1.0 - (raw_n - filt_n) * 1.0 / greatest(raw_n, 1))
+             + 0.3 * least(filt_n / 100.0, 1.0), 6) AS quality
+FROM b
+"""
+
+
+def lang_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    raw = _raw_tokens(t)
+    counts = {}
+    for lang, markers in LANG_MARKERS.items():
+        arr = F.array(*[F.lit(m) for m in markers])
+        counts[lang] = F.size(F.filter(raw, lambda x: F.array_contains(arr, x)))
+    pred = (
+        F.when((counts["de"] > counts["en"]) & (counts["de"] >= counts["fr"]), "de")
+        .when((counts["fr"] > counts["en"]) & (counts["fr"] > counts["de"]), "fr")
+        .otherwise("en")
+    )
+    return docs.select("doc_id", "lang", pred.alias("lang_pred"))
+
+
+def lang_id_sql() -> str:
+    tok = tokenize_duckdb_sql("text")
+    def inlist(lang):
+        return ", ".join(f"'{m}'" for m in LANG_MARKERS[lang])
+    return f"""
+WITH c AS (
+  SELECT doc_id, lang,
+         len(list_filter({tok}, t -> t IN ({inlist('en')}))) AS c_en,
+         len(list_filter({tok}, t -> t IN ({inlist('de')}))) AS c_de,
+         len(list_filter({tok}, t -> t IN ({inlist('fr')}))) AS c_fr
+  FROM documents
+)
+SELECT doc_id, lang,
+       CASE WHEN c_de > c_en AND c_de >= c_fr THEN 'de'
+            WHEN c_fr > c_en AND c_fr > c_de THEN 'fr'
+            ELSE 'en' END AS lang_pred
+FROM c
+"""
+
+
+def fingerprints(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Order-insensitive 56-bit content fingerprint per doc."""
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    toks = docs.select("doc_id", F.explode_outer(_raw_tokens(t)).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    h = F.expr(MD5INT_SPARK.format(x="concat(term, ':', cast(tf as string))"))
+    return (tf.withColumn("h", F.when(F.col("term").isNull(), F.lit(0)).otherwise(h))
+            .groupBy("doc_id").agg(F.expr("bit_xor(h)").alias("fp")))
+
+
+def fingerprints_sql() -> str:
+    tok = tokenize_duckdb_sql("text")
+    md5i = MD5INT_DUCK.format(x="term || ':' || CAST(tf AS VARCHAR)")
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(list_filter({tok}, t -> t <> '')) AS term FROM documents
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+h AS (SELECT doc_id, {md5i} AS h FROM tf)
+SELECT d.doc_id, coalesce(x.fp, 0) AS fp
+FROM documents d LEFT JOIN (SELECT doc_id, bit_xor(h) AS fp FROM h GROUP BY 1) x
+USING (doc_id)
+"""
