@@ -54,9 +54,12 @@ class FtsIndex:
     n_docs: int
     avgdl: float
     postings: DataFrame | None = None  # physical encoded blocks (see postings.py)
+    cached: DataFrame | None = None    # the persisted enriched docs (tokens+dl)
 
     def unpersist(self) -> None:
-        for df in (self.docs_store, self.tf):
+        for df in (self.docs_store, self.tf, self.cached):
+            if df is None:
+                continue
             try:
                 df.unpersist()
             except Exception:
@@ -80,25 +83,38 @@ def tokens_df(docs_with_ids: DataFrame, config: IndexConfig) -> DataFrame:
     ).withColumn("dl", F.size("tokens").cast("long"))
 
 
+def enrich_docs(docs_with_ids: DataFrame, config: IndexConfig) -> DataFrame:
+    """One pass over content: sha256 invariant + tokens + dl in a single
+    projection (whole-stage codegen) — tokenization runs exactly once and
+    ``dl`` needs no join back (content is never read again downstream)."""
+    if config.use_arrow_tokenizer:
+        tok = make_tokenize_udf(config.stopwords)(_searchable_text(config))
+    else:
+        tok = tokenize_expr(_searchable_text(config), config.stopwords)
+    return docs_with_ids.select(
+        "doc_id", "repo", "path", "commit", "lang",
+        F.sha2(F.col("content"), 256).alias("sha256"),
+        tok.alias("tokens"),
+    ).withColumn("dl", F.size("tokens").cast("long"))
+
+
 def build_index(spark: SparkSession, docs: DataFrame, config: IndexConfig | None = None,
                 persist: bool = True) -> FtsIndex:
     config = config or IndexConfig()
     with_ids = assign_doc_ids(docs)
 
-    docs_store = with_ids.select(
-        "doc_id", "repo", "path", "commit", "lang",
-        F.sha2(F.col("content"), 256).alias("sha256"),
-    )
-    toks = tokens_df(with_ids, config)
-    docs_store = docs_store.join(toks.select("doc_id", "dl"), "doc_id")
+    enriched = enrich_docs(with_ids, config)
+    if persist:
+        # single cache holds tokens; docs_store/tf are cheap projections off it
+        enriched = enriched.persist(StorageLevel.MEMORY_AND_DISK)
 
+    docs_store = enriched.drop("tokens")
     tf = (
-        toks.select("doc_id", "dl", F.explode("tokens").alias("term"))
+        enriched.select("doc_id", "dl", F.explode("tokens").alias("term"))
         .groupBy("term", "doc_id", "dl")            # dl functionally dep. on doc_id — free key
         .agg(F.count("*").alias("tf"))
     )
     if persist:
-        docs_store = docs_store.persist(StorageLevel.MEMORY_AND_DISK)
         tf = tf.persist(StorageLevel.MEMORY_AND_DISK)
 
     termstats = tf.groupBy("term").agg(F.count("*").alias("df"))
@@ -110,4 +126,5 @@ def build_index(spark: SparkSession, docs: DataFrame, config: IndexConfig | None
     avgdl = float(g["avgdl"] or 0.0)
 
     return FtsIndex(spark=spark, config=config, docs_store=docs_store, tf=tf,
-                    termstats=termstats, n_docs=n_docs, avgdl=avgdl)
+                    termstats=termstats, n_docs=n_docs, avgdl=avgdl,
+                    cached=enriched if persist else None)

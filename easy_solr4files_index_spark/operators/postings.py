@@ -55,7 +55,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..functions.codec import encode_postings
 from .docids import assign_doc_ids
-from .index_build import FtsIndex, IndexConfig, tokens_df
+from .index_build import FtsIndex, IndexConfig, enrich_docs
 
 POSTINGS_SCHEMA = ("term string, bucket long, n int, doc_ids binary, tfs binary, "
                    "dls binary, max_tfnorm double, tbucket int")
@@ -160,12 +160,10 @@ def write_index(spark: SparkSession, docs: DataFrame, index_dir: str,
     fingerprint = _fingerprint(with_ids)
     done = _done_set(spark, index_dir, fingerprint)
 
-    toks = tokens_df(with_ids, config)
-    docs_store = (
-        with_ids.select("doc_id", "repo", "path", "commit", "lang",
-                        F.sha2(F.col("content"), 256).alias("sha256"))
-        .join(toks.select("doc_id", "dl"), "doc_id")
-    )
+    # one pass over content (sha256 + tokenize + dl, no join) — see
+    # index_build.enrich_docs; cached so docs_store and tf share it
+    enriched = enrich_docs(with_ids, config).persist()
+    docs_store = enriched.drop("tokens")
 
     t0 = time.time()
     if ("docs_store", 0) in done:
@@ -176,7 +174,7 @@ def write_index(spark: SparkSession, docs: DataFrame, index_dir: str,
         run.append("docs_store")
 
     tf = (
-        toks.select("doc_id", "dl", F.explode("tokens").alias("term"))
+        enriched.select("doc_id", "dl", F.explode("tokens").alias("term"))
         .groupBy("term", "doc_id", "dl").agg(F.count("*").alias("tf"))
         .persist()
     )
@@ -189,8 +187,12 @@ def write_index(spark: SparkSession, docs: DataFrame, index_dir: str,
     if ("termstats", 0) in done:
         skipped.append("termstats")
     else:
+        # repartition on the partition column first: each tbucket dir gets
+        # ~1 file instead of (shuffle partitions × dirs) shards — small-file
+        # pressure is the classic partitioned-write killer at scale
         (tf.groupBy("term").agg(F.count("*").alias("df"))
          .withColumn("tbucket", _tbucket(F.col("term"), config.term_buckets))
+         .repartition(config.term_buckets, F.col("tbucket"))
          .write.mode("overwrite").partitionBy("tbucket")
          .parquet(os.path.join(index_dir, "termstats")))
         _append_lineage(spark, index_dir, "termstats", 0, fingerprint, "done", t0)
@@ -219,7 +221,11 @@ def write_index(spark: SparkSession, docs: DataFrame, index_dir: str,
         part = (tfb.filter((F.col("tbucket") >= lo) & (F.col("tbucket") < hi))
                 .groupBy("tbucket", "bucket")
                 .applyInPandas(encoder, POSTINGS_SCHEMA))
-        (part.write.mode("overwrite").partitionBy("tbucket")
+        # encoded blocks are tiny vs raw tf rows — an extra repartition on
+        # the partition column costs little and yields ~1 file per tbucket
+        # dir instead of one shard per (shuffle task × dir)
+        (part.repartition(hi - lo, F.col("tbucket"))
+         .write.mode("overwrite").partitionBy("tbucket")
          .parquet(os.path.join(index_dir, "postings")))
         # per-partition metrics (north_rule: rows, terms, bytes, skew factor)
         m = (spark.read.parquet(os.path.join(index_dir, "postings"))
@@ -235,10 +241,12 @@ def write_index(spark: SparkSession, docs: DataFrame, index_dir: str,
         run.append(f"postings:{gi}")
         if fail_after_group is not None and gi + 1 >= fail_after_group:
             tf.unpersist()
+            enriched.unpersist()
             raise RuntimeError(f"injected failure after postings group {gi}")
 
     tf.unpersist()
     tfb.unpersist()
+    enriched.unpersist()
 
     meta = {"n_docs": n_docs, "avgdl": avgdl, "fingerprint": fingerprint,
             "k1": config.k1, "b": config.b, "bucket_span": config.bucket_span,

@@ -37,7 +37,8 @@ from pyspark.sql import DataFrame, functions as F
 
 from ..functions.codec import varbyte_decode
 from ..functions.tokenizer import tokenize_py
-from .postings import PhysicalIndex, _tbucket
+from ..functions.xxhash import term_bucket
+from .postings import PhysicalIndex
 from .query import _filters_expr
 
 
@@ -89,10 +90,10 @@ def search_blockmax(index: PhysicalIndex, text: str | None = None, k: int = 10,
         return (index.docs_store.withColumn("score", F.lit(0.0))
                 .select("doc_id", "repo", "path", "lang", "score").limit(0))
 
-    tbuckets = sorted({r["tbucket"] for r in
-                       index.spark.createDataFrame([(t,) for t in terms], "term string")
-                       .select(_tbucket(F.col("term"), cfg.term_buckets).alias("tbucket"))
-                       .collect()})
+    # tbucket = pmod(xxhash64(term), T) computed driver-side (pure-Python
+    # XXH64, parity-tested vs the Spark expression) — zero Spark jobs for
+    # query planning; the values prune the termstats/postings scans below.
+    tbuckets = sorted({term_bucket(t, cfg.term_buckets) for t in terms})
     stats = {r["term"]: r["df"] for r in
              index.termstats.filter(F.col("tbucket").isin(tbuckets) &
                                     F.col("term").isin(terms)).collect()}
@@ -116,19 +117,21 @@ def search_blockmax(index: PhysicalIndex, text: str | None = None, k: int = 10,
     if not prune:
         return topk(_score_blocks(blocks, cfg.k1, cfg.b, index.avgdl))
 
-    # bucket-level block-max pruning
+    # bucket-level block-max pruning. One job decides coverage AND picks
+    # the hot set: TakeOrdered of P+1 bucket bounds — if it returns ≤ P
+    # rows, the hot set IS every bucket and phase A is exhaustive+final.
     ub = blocks.groupBy("bucket").agg(
         F.sum(F.col("idf") * F.col("max_tfnorm")).alias("ub"))
     p = max(4 * (k + skip), 32)
-    hot = [r["bucket"] for r in ub.orderBy(F.col("ub").desc()).limit(p).collect()]
-    n_buckets = ub.count()
+    ub_rows = ub.orderBy(F.col("ub").desc()).limit(p + 1).collect()
+    if len(ub_rows) <= p:
+        return topk(_score_blocks(blocks, cfg.k1, cfg.b, index.avgdl))
+    hot = [r["bucket"] for r in ub_rows[:p]]
 
     blocks = blocks.persist()
     try:
         phase_a = _score_blocks(blocks.filter(F.col("bucket").isin(hot)),
                                 cfg.k1, cfg.b, index.avgdl)
-        if n_buckets <= len(hot):
-            return topk(phase_a)
         a_rows = (phase_a.join(store, "doc_id")
                   .orderBy(F.col("score").desc(), F.col("doc_id").asc())
                   .limit(k + skip).collect())

@@ -31,5 +31,10 @@ def get_spark(app: str = "fts", cpus: int | None = None, shuffle_partitions: int
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # commit each task's files directly (v2) and skip _SUCCESS markers:
+        # partitioned index writes produce many directories and the v1
+        # driver-side sequential rename dominates small-batch writes
+        .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
+        .config("spark.hadoop.mapreduce.fileoutputcommitter.marksuccessfuljobs", "false")
         .getOrCreate()
     )
