@@ -19,19 +19,46 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from easy_solr4files_index_spark.functions import dedup, multimodal, similarity, textstats
 from easy_solr4files_index_spark.functions.tokenizer import tokenize_py
-from easy_solr4files_index_spark.operators.index_build import FtsIndex, build_index
+from easy_solr4files_index_spark.operators.index_build import FtsIndex, IndexConfig, build_index
 from easy_solr4files_index_spark.operators.query import search
 from easy_solr4files_index_spark.operators.update import delete_by_repo
 from easy_solr4files_index_spark.oracle import duckdb_sql as osql
 from easy_solr4files_index_spark.sources.docs_source import load_docs
 
-_INDEX_CACHE: dict[tuple[int, str], FtsIndex] = {}
+_INDEX_CACHE: dict[tuple[int, str, str], object] = {}
 
 
 def _index(spark: SparkSession, sf_dir: str) -> FtsIndex:
-    key = (id(spark), sf_dir)
+    key = (id(spark), sf_dir, "logical")
     if key not in _INDEX_CACHE:
         _INDEX_CACHE[key] = build_index(spark, load_docs(spark, sf_dir))
+    return _INDEX_CACHE[key]
+
+
+def _index_arrow(spark: SparkSession, sf_dir: str) -> FtsIndex:
+    """Same corpus indexed through the pandas-UDF tokenizer chain
+    (IndexConfig.use_arrow_tokenizer) — behavior-identical to the codegen
+    expression chain, and gated by the same oracle."""
+    key = (id(spark), sf_dir, "arrow")
+    if key not in _INDEX_CACHE:
+        _INDEX_CACHE[key] = build_index(
+            spark, load_docs(spark, sf_dir), IndexConfig(use_arrow_tokenizer=True))
+    return _INDEX_CACHE[key]
+
+
+def _index_physical(spark: SparkSession, sf_dir: str):
+    """The on-disk physical index (varbyte/delta blocks, term-bucket
+    partitioning) queried through block-max WAND — the at-scale engine
+    path, under the same DuckDB oracle as the logical path."""
+    import tempfile
+
+    from easy_solr4files_index_spark.operators.postings import open_index, write_index
+
+    key = (id(spark), sf_dir, "physical")
+    if key not in _INDEX_CACHE:
+        d = tempfile.mkdtemp(prefix="fts_entry_phys_")
+        write_index(spark, load_docs(spark, sf_dir), d, lineage_groups=1)
+        _INDEX_CACHE[key] = open_index(spark, d)
     return _INDEX_CACHE[key]
 
 
@@ -97,6 +124,48 @@ def _q_delete_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """id:<bagId>* delete analog, then per-repo survivor counts."""
     idx = delete_by_repo(_index(spark, sf_dir), "src0")
     return idx.docs_store.groupBy("repo").agg(F.count("*").alias("cnt"))
+
+
+def _q_topk_physical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from easy_solr4files_index_spark.operators.wand import search_blockmax
+    return search_blockmax(_index_physical(spark, sf_dir), "spark join merge", k=10)
+
+
+def _q_topk_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return search(_index_arrow(spark, sf_dir), "table scan", k=10)
+
+
+# metadata-side operator parity over the TPC-H-ish tables: the reference's
+# non-fulltext operators exercised on relational inputs (SURVEY.md §2.2-2.4)
+def _q_meta_group_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2/A3 group-count aggregation (package.scala:114-118)."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return orders.groupBy("o_orderstatus").agg(F.count("*").alias("cnt"))
+
+
+def _q_meta_vocab_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2/J3 vocabulary broadcast join (DDM.scala:95-117): code -> label."""
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    region = spark.read.parquet(f"{sf_dir}/region.parquet")
+    return (nation.join(F.broadcast(region),
+                        nation.n_regionkey == region.r_regionkey)
+            .select("n_name", F.col("r_name").alias("region_name")))
+
+
+def _q_meta_date_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4 date normalization to `yyyy-MM-ddT00:00:00Z` (DDM.scala:127-130)."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return (orders.filter(F.col("o_orderkey") <= 100)
+            .select("o_orderkey",
+                    F.date_format("o_orderdate", "yyyy-MM-dd'T00:00:00Z'")
+                    .alias("date_available")))
+
+
+def _q_meta_range_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P13 date-range predicate `[* TO NOW]` analog (SearchServlet.scala:109)."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return (orders.filter(F.col("o_orderdate") < F.lit("1995-01-01").cast("timestamp"))
+            .groupBy("o_orderpriority").agg(F.count("*").alias("cnt")))
 
 
 def _docs_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -169,6 +238,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fts_doc_stats": _q_doc_stats,
         "fts_sha256": _q_sha256,
         "fts_delete_prefix": _q_delete_prefix,
+        "fts_topk_physical": _q_topk_physical,
+        "fts_topk_arrow_tok": _q_topk_arrow,
+        "meta_group_count": _q_meta_group_count,
+        "meta_vocab_join": _q_meta_vocab_join,
+        "meta_date_normalize": _q_meta_date_normalize,
+        "meta_range_filter": _q_meta_range_filter,
         "dedup_exact_groups": _q_dedup_exact,
         "dedup_ngram_jaccard": _q_dedup_jaccard,
         "dedup_minhash_lsh": _q_dedup_minhash,
@@ -198,6 +273,19 @@ def oracle_sql() -> dict[str, str]:
     out["fts_doc_stats"] = osql.doc_stats_sql("src3")
     out["fts_sha256"] = osql.sha256_sql()
     out["fts_delete_prefix"] = osql.delete_prefix_sql("src0")
+    out["fts_topk_physical"] = osql.bm25_topk_sql(tokenize_py("spark join merge"), k=10)
+    out["fts_topk_arrow_tok"] = osql.bm25_topk_sql(tokenize_py("table scan"), k=10)
+    out["meta_group_count"] = (
+        "SELECT o_orderstatus, count(*) AS cnt FROM orders GROUP BY o_orderstatus")
+    out["meta_vocab_join"] = (
+        "SELECT n_name, r_name AS region_name FROM nation "
+        "JOIN region ON n_regionkey = r_regionkey")
+    out["meta_date_normalize"] = (
+        "SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%dT00:00:00Z') AS date_available "
+        "FROM orders WHERE o_orderkey <= 100")
+    out["meta_range_filter"] = (
+        "SELECT o_orderpriority, count(*) AS cnt FROM orders "
+        "WHERE o_orderdate < TIMESTAMP '1995-01-01' GROUP BY o_orderpriority")
     out["dedup_exact_groups"] = dedup.exact_dup_groups_sql()
     out["dedup_ngram_jaccard"] = dedup.ngram_jaccard_pairs_sql(threshold=0.6)
     out["dedup_minhash_lsh"] = dedup.minhash_band_candidates_sql()

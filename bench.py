@@ -125,13 +125,83 @@ def run_suite(sf_dir: str, cpus: int) -> dict:
         spark.stop()
 
 
+SCALE_N_DOCS = int(os.environ.get("SPARK_GRAFT_SCALE_DOCS", "200000"))
+SCALE_CORPUS = f"/tmp/fts_scale_corpus_{SCALE_N_DOCS}"
+
+# query set for the synthetic scale corpus (Zipf vocab of scale_corpus.py:
+# 'def' ~hottest keyword, parseBuild ~hot identifier, long-tail pairs)
+SCALE_QUERIES: dict[str, tuple[str | None, int, int, dict | None]] = {
+    "s1_hot_kw": ("def", 10, 0, None),
+    "s2_hot_ident": ("parseBuild", 10, 0, None),
+    "s3_multi": ("merge block scan", 10, 0, None),
+    "s4_tail": ("swapRing allocHeap", 10, 0, None),
+    "s5_filtered": ("token score", 10, 0, {"lang": ["python", "go"]}),
+}
+
+
+def run_scale_worker(corpus_path: str, cpus: int) -> dict:
+    """Timed build + query suite over an already-materialized docs-shaped
+    parquet corpus (generation is NOT part of the measured job)."""
+    from easy_solr4files_index_spark.session import get_spark
+    from easy_solr4files_index_spark.operators.postings import write_index, open_index
+    from easy_solr4files_index_spark.operators.wand import search_blockmax
+
+    spark = get_spark("bench-scale", cpus=cpus, shuffle_partitions=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+    docs = spark.read.parquet(corpus_path)
+    n_files = docs.count()
+
+    index_dir = tempfile.mkdtemp(prefix="fts_scale_idx_")
+    try:
+        t0 = time.perf_counter()
+        write_index(spark, docs, index_dir, lineage_groups=1)
+        build_s = time.perf_counter() - t0
+
+        idx = open_index(spark, index_dir)
+        search_blockmax(idx, "def", k=5).collect()  # warm-up, unmeasured
+        per_query, all_times = {}, []
+        for name, (text, k, skip, filters) in SCALE_QUERIES.items():
+            times = []
+            for _ in range(2):
+                t0 = time.perf_counter()
+                search_blockmax(idx, text, k=k, skip=skip, filters=filters).collect()
+                times.append(time.perf_counter() - t0)
+            per_query[name] = round(min(times), 3)
+            all_times += times
+        all_times.sort()
+        p95 = all_times[min(len(all_times) - 1, int(0.95 * len(all_times)))]
+        return {
+            "cpus": cpus, "n_files": n_files,
+            "build_sec": round(build_s, 2),
+            "files_per_sec": round(n_files / build_s, 1),
+            "queries": per_query, "query_p95_sec": round(p95, 3),
+        }
+    finally:
+        shutil.rmtree(index_dir, ignore_errors=True)
+        spark.stop()
+
+
 def run_scaling(sf_dir: str, n_low: int = 8, n_high: int = 32) -> dict:
-    """Same job at N and 4N cores in fresh subprocesses (clean JVMs)."""
+    """Same job at N and 4N cores in fresh subprocesses (clean JVMs).
+
+    Uses the deterministic scale corpus (200k docs by default): at the
+    driver testdata's 5k docs the build is fixed-overhead-bound and a
+    core-count comparison measures the scheduler, not the engine.
+    """
+    from easy_solr4files_index_spark.session import get_spark
+    from easy_solr4files_index_spark.sources.scale_corpus import materialize_scale_corpus
+
+    spark = get_spark("bench-gen", cpus=n_high)
+    spark.sparkContext.setLogLevel("ERROR")
+    materialize_scale_corpus(spark, SCALE_N_DOCS, SCALE_CORPUS)
+    spark.stop()
+
     results = {}
     for cpus in (n_low, n_high):
-        env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir, SPARK_GRAFT_CPUS=str(cpus))
-        out = subprocess.run([sys.executable, os.path.abspath(__file__)],
-                             env=env, capture_output=True, text=True, check=True)
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--_scale-worker",
+             SCALE_CORPUS, str(cpus)],
+            capture_output=True, text=True, check=True)
         line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
         results[cpus] = json.loads(line)
 
@@ -160,11 +230,15 @@ def write_scaling_report(s: dict, path: str = "BENCH/BASELINE.md") -> None:
 North-rule criterion: throughput scaling efficiency >= 0.8 between N and
 4N executors. No real cluster exists in this sandbox, so per the task
 brief this is evidenced by the SAME job (full physical index build +
-reference query set, `bench.py`) on the SAME input at two parallelism
+query set, `bench.py --scaling`) on the SAME input at two parallelism
 levels: `local[{lo}]` vs `local[{hi}]`.
 
-Input: {s['results'][s['n_low']]['n_files']} files at sf{s['sf']}
-(`documents.parquet` adapted to docs(repo,path,commit,lang,content)).
+Input: {s['results'][s['n_low']]['n_files']} files of the deterministic
+code-like corpus (sources/scale_corpus.py — Zipf vocabulary, values a
+pure function of doc id, byte-identical at any parallelism), generated
+once to parquet OUTSIDE the timed build. The driver testdata (5k docs,
+~1.5 MB text) is too small for a meaningful core-count comparison —
+fixed per-job overhead dominates there.
 
 | parallelism | build files/sec | query p95 (s) |
 |---|---|---|
@@ -190,7 +264,10 @@ Raw per-level JSON: see `bench_scaling.json`.
 
 
 if __name__ == "__main__":
-    if "--scaling" in sys.argv:
+    if "--_scale-worker" in sys.argv:
+        i = sys.argv.index("--_scale-worker")
+        print(json.dumps(run_scale_worker(sys.argv[i + 1], int(sys.argv[i + 2]))))
+    elif "--scaling" in sys.argv:
         s = run_scaling(SF_DIR)
         write_scaling_report(s)
         print(json.dumps({k: v for k, v in s.items() if k != "results"}))

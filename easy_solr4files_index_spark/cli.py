@@ -1,0 +1,153 @@
+"""spark-submit entrypoints (north_rule: "launched via spark-submit
+--py-files on multi-executor clusters").
+
+The reference ships a CLI (`easy-solr4files-index {init,update,delete,
+run-service}`, Command.scala:30-56 / CommandLineOptions.scala) plus HTTP
+servlets; our operational surface is the same verbs as Spark jobs:
+
+    spark-submit --py-files easy_solr4files_index_spark.zip -m ... \
+        cli.py build  --input <docs parquet/iceberg> --index <dir>
+    ...             query  --index <dir> --text "spark join" [--k 10]
+    ...             delete --index <dir> --repo <repo> [--path-prefix p]
+    ...             bench  --input <docs> [--cpus N]
+
+On a real cluster, spark-submit provides the SparkSession (master,
+executors, dynamic allocation); `get_spark` only fills in local defaults
+when none exists. Everything else — partitioning, salting, lineage,
+resume — is inside write_index/search_blockmax and is cluster-size
+independent by construction.
+
+Zip the package for --py-files with:
+    python -m zipfile -c easy_solr4files_index_spark.zip easy_solr4files_index_spark
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+from pyspark.sql import SparkSession
+
+
+def _spark(app: str, cpus: int | None) -> SparkSession:
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        return active
+    from .session import get_spark
+    return get_spark(app, cpus=cpus)
+
+
+def _load_docs_any(spark: SparkSession, path: str):
+    """docs-shaped parquet dir, a testdata sf dir, or a saved table name."""
+    import os
+    if os.path.isdir(path) and os.path.exists(os.path.join(path, "documents.parquet")):
+        from .sources.docs_source import load_docs
+        return load_docs(spark, path)
+    if os.path.exists(path):
+        return spark.read.parquet(path)
+    return spark.read.table(path)
+
+
+def cmd_build(args: argparse.Namespace) -> int:
+    from .operators.postings import write_index
+
+    spark = _spark("fts-build", args.cpus)
+    docs = _load_docs_any(spark, args.input)
+    t0 = time.perf_counter()
+    report = write_index(spark, docs, args.index, lineage_groups=args.lineage_groups)
+    dt = time.perf_counter() - t0
+    print(json.dumps({
+        "index_dir": report.index_dir, "n_docs": report.n_docs,
+        "avgdl": report.avgdl, "fingerprint": report.fingerprint,
+        "stages_run": report.stages_run, "stages_skipped": report.stages_skipped,
+        "build_sec": round(dt, 2),
+        "files_per_sec": round(report.n_docs / dt, 1) if dt > 0 else None,
+    }))
+    return 0
+
+
+def cmd_query(args: argparse.Namespace) -> int:
+    from .operators.postings import open_index
+    from .operators.wand import search_blockmax
+
+    spark = _spark("fts-query", args.cpus)
+    idx = open_index(spark, args.index)
+    filters = json.loads(args.filters) if args.filters else None
+    rows = search_blockmax(idx, args.text, k=args.k, skip=args.skip,
+                           filters=filters).collect()
+    print(json.dumps({
+        "summary": {"text": args.text if args.text is not None else "*",
+                    "skip": args.skip, "limit": args.k, "returned": len(rows)},
+        "fileitems": [{"repo": r["repo"], "path": r["path"], "lang": r["lang"],
+                       "score": r["score"]} for r in rows],
+    }))
+    return 0
+
+
+def cmd_delete(args: argparse.Namespace) -> int:
+    """Delete-by-key over the LOGICAL index rebuilt from source + requery
+    (the physical on-disk delete is an overwrite-by-key rebuild of the
+    affected tbuckets — reference semantics: delete-before-insert,
+    EasySolr4filesIndexApp.scala:48-51)."""
+    from .operators.index_build import build_index
+    from .operators.update import delete_by_path_prefix, delete_by_repo
+
+    spark = _spark("fts-delete", args.cpus)
+    docs = _load_docs_any(spark, args.input)
+    idx = build_index(spark, docs)
+    idx = (delete_by_path_prefix(idx, args.repo, args.path_prefix)
+           if args.path_prefix else delete_by_repo(idx, args.repo))
+    print(json.dumps({"n_docs_after": idx.n_docs, "avgdl_after": idx.avgdl}))
+    return 0
+
+
+def cmd_bench(args: argparse.Namespace) -> int:
+    import importlib.util
+    import os
+    spec = importlib.util.spec_from_file_location(
+        "bench", os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "bench.py"))
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+    print(json.dumps(bench.run_suite(args.input, args.cpus or 32)))
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="fts", description=__doc__)
+    p.add_argument("--cpus", type=int, default=None,
+                   help="local[N] when no session exists (spark-submit provides one)")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    b = sub.add_parser("build", help="build/resume the physical index")
+    b.add_argument("--input", required=True)
+    b.add_argument("--index", required=True)
+    b.add_argument("--lineage-groups", type=int, default=4)
+    b.set_defaults(fn=cmd_build)
+
+    q = sub.add_parser("query", help="top-k BM25 over a built index")
+    q.add_argument("--index", required=True)
+    q.add_argument("--text", default=None)
+    q.add_argument("--k", type=int, default=10)
+    q.add_argument("--skip", type=int, default=0)
+    q.add_argument("--filters", default=None, help='JSON, e.g. {"lang": ["java"]}')
+    q.set_defaults(fn=cmd_query)
+
+    d = sub.add_parser("delete", help="delete by repo / path prefix, report stats")
+    d.add_argument("--input", required=True)
+    d.add_argument("--repo", required=True)
+    d.add_argument("--path-prefix", default=None)
+    d.set_defaults(fn=cmd_delete)
+
+    be = sub.add_parser("bench", help="run the benchmark suite")
+    be.add_argument("--input", default="/root/testdata/sf0.1")
+    be.set_defaults(fn=cmd_bench)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

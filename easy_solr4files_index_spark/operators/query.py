@@ -98,12 +98,21 @@ def search(index: FtsIndex, text: str | None = None, k: int = 10, skip: int = 0,
                 .select("doc_id", *RESULT_COLS).limit(0))
 
     scores = score_terms(index, terms)
-    out = scores.join(store, "doc_id")  # fq intersection AFTER scoring = semijoin semantics
+    # fq semantics = semijoin on ids BEFORE the cut (non-scoring filters,
+    # like Solr fq); the cut itself runs on the narrow (doc_id, score)
+    # stream (TakeOrderedAndProject — no full-store shuffle), and only the
+    # k winners are joined back for stored fields (tiny side broadcast).
+    if filters:
+        scores = scores.join(store.select("doc_id"), "doc_id", "left_semi")
     score_col = F.round(F.col("score"), round_score) if round_score is not None else F.col("score")
-    return (
-        out.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    page = F.broadcast(
+        scores.orderBy(F.col("score").desc(), F.col("doc_id").asc())
         .offset(skip).limit(k)
-        .select("doc_id", "repo", "path", "lang", score_col.alias("score"))
+        .select("doc_id", score_col.alias("score")))
+    return (
+        page.join(index.docs_store.select("doc_id", "repo", "path", "lang"), "doc_id")
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .select("doc_id", "repo", "path", "lang", "score")
     )
 
 

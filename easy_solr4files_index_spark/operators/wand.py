@@ -46,8 +46,14 @@ def _idf(n_docs: int, df: int) -> float:
     return math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
 
 
-def _score_blocks(blocks: DataFrame, k1: float, b: float, avgdl: float) -> DataFrame:
-    """Decode blocks (term, n, doc_ids, tfs, dls, idf) -> (doc_id, score)."""
+def _score_blocks(blocks: DataFrame, k1: float, b: float, avgdl: float,
+                  single_term: bool = False) -> DataFrame:
+    """Decode blocks (term, n, doc_ids, tfs, dls, idf) -> (doc_id, score).
+
+    ``single_term=True`` skips the per-doc sum: with one query term a doc
+    appears in exactly one block, so the groupBy (a full shuffle of every
+    decoded posting) would be the identity — the hot-term fast path.
+    """
     avgdl = avgdl if avgdl > 0 else 1.0
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -67,6 +73,8 @@ def _score_blocks(blocks: DataFrame, k1: float, b: float, avgdl: float) -> DataF
 
     exploded = blocks.select("n", "doc_ids", "tfs", "dls", "idf").mapInPandas(
         kernel, "doc_id long, contrib double")
+    if single_term:
+        return exploded.withColumnRenamed("contrib", "score")
     return exploded.groupBy("doc_id").agg(F.sum("contrib").alias("score"))
 
 
@@ -108,14 +116,24 @@ def search_blockmax(index: PhysicalIndex, text: str | None = None, k: int = 10,
               .join(F.broadcast(idf_df), "term"))
 
     def topk(scored: DataFrame) -> DataFrame:
-        out = scored.join(store, "doc_id")
+        # cut FIRST on the narrow (doc_id, score) stream (TakeOrdered —
+        # no global shuffle), join stored fields only for the k winners.
+        # fq filters must apply before the cut: semijoin on ids alone.
+        if filters:
+            scored = scored.join(store.select("doc_id"), "doc_id", "left_semi")
         sc = F.round(F.col("score"), round_score) if round_score is not None else F.col("score")
-        return (out.orderBy(F.col("score").desc(), F.col("doc_id").asc())
-                .offset(skip).limit(k)
-                .select("doc_id", "repo", "path", "lang", sc.alias("score")))
+        page = F.broadcast(
+            scored.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+            .offset(skip).limit(k)
+            .select("doc_id", sc.alias("score")))
+        return (page.join(index.docs_store.select("doc_id", "repo", "path", "lang"), "doc_id")
+                .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+                .select("doc_id", "repo", "path", "lang", "score"))
+
+    single = len(stats) == 1
 
     if not prune:
-        return topk(_score_blocks(blocks, cfg.k1, cfg.b, index.avgdl))
+        return topk(_score_blocks(blocks, cfg.k1, cfg.b, index.avgdl, single_term=single))
 
     # bucket-level block-max pruning. One job decides coverage AND picks
     # the hot set: TakeOrdered of P+1 bucket bounds — if it returns ≤ P
@@ -125,15 +143,18 @@ def search_blockmax(index: PhysicalIndex, text: str | None = None, k: int = 10,
     p = max(4 * (k + skip), 32)
     ub_rows = ub.orderBy(F.col("ub").desc()).limit(p + 1).collect()
     if len(ub_rows) <= p:
-        return topk(_score_blocks(blocks, cfg.k1, cfg.b, index.avgdl))
+        return topk(_score_blocks(blocks, cfg.k1, cfg.b, index.avgdl, single_term=single))
     hot = [r["bucket"] for r in ub_rows[:p]]
 
     blocks = blocks.persist()
     try:
         phase_a = _score_blocks(blocks.filter(F.col("bucket").isin(hot)),
-                                cfg.k1, cfg.b, index.avgdl)
-        a_rows = (phase_a.join(store, "doc_id")
-                  .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+                                cfg.k1, cfg.b, index.avgdl, single_term=single)
+        # tau from the narrow (doc_id, score) stream — stored fields are
+        # irrelevant to the threshold; fq filters enter via id-semijoin only
+        a_stream = (phase_a.join(store.select("doc_id"), "doc_id", "left_semi")
+                    if filters else phase_a)
+        a_rows = (a_stream.orderBy(F.col("score").desc(), F.col("doc_id").asc())
                   .limit(k + skip).collect())
         tau = a_rows[-1]["score"] if len(a_rows) >= k + skip else float("-inf")
         # survivors stay distributed (no driver collect of bucket ids):
@@ -141,7 +162,7 @@ def search_blockmax(index: PhysicalIndex, text: str | None = None, k: int = 10,
         # disjoint doc sets and a plain union is exact.
         rest_df = ub.filter(~F.col("bucket").isin(hot) & (F.col("ub") > tau)).select("bucket")
         phase_b = _score_blocks(blocks.join(rest_df, "bucket"),
-                                cfg.k1, cfg.b, index.avgdl)
+                                cfg.k1, cfg.b, index.avgdl, single_term=single)
         return topk(phase_a.unionByName(phase_b))
     finally:
         blocks.unpersist()
