@@ -164,8 +164,55 @@ def _q_meta_date_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_meta_range_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P13 date-range predicate `[* TO NOW]` analog (SearchServlet.scala:109)."""
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
-    return (orders.filter(F.col("o_orderdate") < F.lit("1995-01-01").cast("timestamp"))
+    return (orders.filter(F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
             .groupBy("o_orderpriority").agg(F.count("*").alias("cnt")))
+
+
+def _q_scan_stores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1 store scan (Vault.scala:34-43): distinct container names."""
+    from easy_solr4files_index_spark.sources.docs_source import load_docs
+    return load_docs(spark, sf_dir).select("repo").distinct()
+
+
+def _q_scan_bags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2 bag scan (Vault.scala:45-51): active bag ids within one store."""
+    from easy_solr4files_index_spark.sources.docs_source import load_docs
+    return (load_docs(spark, sf_dir).filter(F.col("repo") == "src5")
+            .select("commit").distinct())
+
+
+def _q_meta_flatten_ws(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2 nested-text flatten (DDM.scala:132-147): whitespace-normalize."""
+    d = _docs_raw(spark, sf_dir)
+    return (d.filter(F.col("doc_id") <= 20)
+            .select("doc_id",
+                    F.trim(F.regexp_replace(F.coalesce("text", F.lit("")),
+                                            r"\s+", " ")).alias("flat")))
+
+
+def _q_meta_typed_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3 typed-ID rewrite (DDM.scala:119-121): '<type> <value>', prefix stripped."""
+    d = _docs_raw(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        F.concat(F.regexp_replace(F.col("source"), "^src", ""), F.lit(" "),
+                 F.col("doc_id").cast("string")).alias("typed_id"))
+
+
+def _q_empty_value_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5 empty-value drop (Solr.scala:52): docs with non-empty content."""
+    d = _docs_raw(spark, sf_dir)
+    return d.agg(
+        F.sum(F.when(F.coalesce(F.col("text"), F.lit("")) != "", 1).otherwise(0))
+        .alias("non_empty"),
+        F.count("*").alias("total"))
+
+
+def _q_path_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P14 prefix predicate (folder-delete analog, docs/index.md:19)."""
+    idx = _index(spark, sf_dir)
+    return (idx.docs_store.filter(F.col("path").startswith("docs/0000001"))
+            .select("doc_id", "repo", "path"))
 
 
 def _docs_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -244,6 +291,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "meta_vocab_join": _q_meta_vocab_join,
         "meta_date_normalize": _q_meta_date_normalize,
         "meta_range_filter": _q_meta_range_filter,
+        "scan_stores": _q_scan_stores,
+        "scan_bags": _q_scan_bags,
+        "meta_flatten_ws": _q_meta_flatten_ws,
+        "meta_typed_id": _q_meta_typed_id,
+        "meta_empty_value_filter": _q_empty_value_filter,
+        "fts_path_prefix": _q_path_prefix,
         "dedup_exact_groups": _q_dedup_exact,
         "dedup_ngram_jaccard": _q_dedup_jaccard,
         "dedup_minhash_lsh": _q_dedup_minhash,
@@ -285,7 +338,21 @@ def oracle_sql() -> dict[str, str]:
         "FROM orders WHERE o_orderkey <= 100")
     out["meta_range_filter"] = (
         "SELECT o_orderpriority, count(*) AS cnt FROM orders "
-        "WHERE o_orderdate < TIMESTAMP '1995-01-01' GROUP BY o_orderpriority")
+        "WHERE o_orderdate < TIMESTAMP '1998-01-01' GROUP BY o_orderpriority")
+    out["scan_stores"] = "SELECT DISTINCT source AS repo FROM documents"
+    out["scan_bags"] = (
+        "SELECT DISTINCT rpad(md5(source || ':' || CAST(doc_id AS VARCHAR)), 40, '0') "
+        "AS commit FROM documents WHERE source = 'src5'")
+    out["meta_flatten_ws"] = (
+        "SELECT doc_id, trim(regexp_replace(coalesce(text, ''), '\\s+', ' ', 'g')) "
+        "AS flat FROM documents WHERE doc_id <= 20")
+    out["meta_typed_id"] = (
+        "SELECT doc_id, regexp_replace(source, '^src', '') || ' ' || "
+        "CAST(doc_id AS VARCHAR) AS typed_id FROM documents")
+    out["meta_empty_value_filter"] = (
+        "SELECT sum(CASE WHEN coalesce(text, '') <> '' THEN 1 ELSE 0 END) AS non_empty, "
+        "count(*) AS total FROM documents")
+    out["fts_path_prefix"] = osql.path_prefix_sql("docs/0000001")
     out["dedup_exact_groups"] = dedup.exact_dup_groups_sql()
     out["dedup_ngram_jaccard"] = dedup.ngram_jaccard_pairs_sql(threshold=0.6)
     out["dedup_minhash_lsh"] = dedup.minhash_band_candidates_sql()

@@ -116,11 +116,26 @@ def _lineage_path(index_dir: str) -> str:
 
 def _append_lineage(spark: SparkSession, index_dir: str, stage: str, partition_id: int,
                     fingerprint: str, status: str, started_at: float) -> None:
-    df = spark.createDataFrame(
-        [(stage, partition_id, fingerprint, status, float(started_at), time.time())],
-        "stage string, partition_id int, input_fingerprint string, status string, "
-        "started_at double, finished_at double")
-    df.coalesce(1).write.mode("append").parquet(_lineage_path(index_dir))
+    """One-row append, written directly with pyarrow: a Spark job per
+    lineage row (createDataFrame + coalesce(1) + write) costs a full
+    scheduler round-trip of pure serial time per stage; the directory
+    stays an ordinary parquet dataset Spark reads back for resume."""
+    import uuid
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    path = _lineage_path(index_dir)
+    os.makedirs(path, exist_ok=True)
+    table = pa.table({
+        "stage": pa.array([stage], pa.string()),
+        "partition_id": pa.array([partition_id], pa.int32()),
+        "input_fingerprint": pa.array([fingerprint], pa.string()),
+        "status": pa.array([status], pa.string()),
+        "started_at": pa.array([float(started_at)], pa.float64()),
+        "finished_at": pa.array([time.time()], pa.float64()),
+    })
+    pq.write_table(table, os.path.join(path, f"part-{uuid.uuid4().hex}.parquet"))
 
 
 def _done_set(spark: SparkSession, index_dir: str, fingerprint: str) -> set[tuple[str, int]]:
@@ -205,10 +220,13 @@ def write_index(spark: SparkSession, docs: DataFrame, index_dir: str,
     tfb = (
         tf.withColumn("bucket", (F.col("doc_id") / config.bucket_span).cast("long"))
         .withColumn("tbucket", _tbucket(F.col("term"), config.term_buckets))
-        .persist()
     )
     encoder = _make_encoder(config.k1, config.b, avgdl)
     groups = min(lineage_groups, config.term_buckets)
+    if groups > 1:
+        # only worth a second 12M-row materialization when several group
+        # jobs will re-scan it; with one group tf's cache already serves
+        tfb = tfb.persist()
     per_group = (config.term_buckets + groups - 1) // groups
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     for gi in range(groups):

@@ -142,3 +142,10 @@ def delete_prefix_sql(repo: str) -> str:
     return f"""{PREFIX}
 SELECT repo, count(*) AS cnt FROM docl WHERE repo <> '{repo}' GROUP BY repo
 """
+
+
+def path_prefix_sql(prefix: str) -> str:
+    """P14 prefix predicate over the doc key (folder-delete analog)."""
+    return f"""{PREFIX}
+SELECT doc_id, repo, path FROM docl WHERE path LIKE '{prefix}%'
+"""

@@ -25,6 +25,10 @@ def get_spark(app: str = "fts", cpus: int | None = None, shuffle_partitions: int
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # default advisory size (64m) coalesces medium shuffles to fewer
+        # partitions than cores, capping stage parallelism; 16m keeps
+        # enough post-coalesce partitions to feed every core
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16m")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))

@@ -71,7 +71,7 @@ def _hash64(x: np.ndarray) -> np.ndarray:
 
 
 def generate_scale_corpus(spark: SparkSession, n_docs: int, seed: int = 42,
-                          words_min: int = 30, words_max: int = 90) -> DataFrame:
+                          words_min: int = 100, words_max: int = 300) -> DataFrame:
     vocab = np.array(_vocabulary(), dtype=object)
     cdf = _zipf_cdf(len(vocab))
     seed64 = np.uint64(seed)

@@ -1,0 +1,82 @@
+"""Property-based kernels tests (SURVEY.md §5.2.4) — no Spark session:
+codec roundtrips over adversarial integer distributions, tokenizer spec
+agreement between the pure-Python reference chain and the DuckDB oracle
+chain (the two independent implementations the correctness gate leans
+on), and XXH64 known-answer vectors.
+"""
+
+import duckdb
+import numpy as np
+from hypothesis import given, settings, strategies as st
+
+from easy_solr4files_index_spark.functions.codec import (
+    decode_postings, delta_decode, delta_encode, encode_postings,
+    varbyte_decode, varbyte_encode)
+from easy_solr4files_index_spark.functions.tokenizer import (
+    LUCENE_STOPWORDS, stopword_not_in_sql, tokenize_duckdb_sql, tokenize_py)
+from easy_solr4files_index_spark.functions.xxhash import xxhash64
+
+
+@given(st.lists(st.integers(min_value=0, max_value=2**63 - 1), max_size=300))
+@settings(max_examples=200, deadline=None)
+def test_varbyte_roundtrip(vals):
+    arr = np.array(vals, dtype=np.uint64)
+    assert np.array_equal(varbyte_decode(varbyte_encode(arr), len(vals)), arr)
+
+
+@given(st.lists(st.integers(min_value=0, max_value=2**62), min_size=1, max_size=300))
+@settings(max_examples=200, deadline=None)
+def test_delta_roundtrip_sorted(vals):
+    arr = np.sort(np.array(vals, dtype=np.uint64))
+    assert np.array_equal(delta_decode(delta_encode(arr)), arr)
+
+
+@given(st.lists(
+    st.tuples(st.integers(min_value=0, max_value=10**12),   # doc_id
+              st.integers(min_value=1, max_value=10**4),    # tf
+              st.integers(min_value=0, max_value=10**6)),   # dl
+    min_size=1, max_size=200, unique_by=lambda t: t[0]))
+@settings(max_examples=100, deadline=None)
+def test_postings_roundtrip_unsorted_input(triples):
+    ids = np.array([t[0] for t in triples], dtype=np.uint64)
+    tfs = np.array([t[1] for t in triples], dtype=np.uint64)
+    dls = np.array([t[2] for t in triples], dtype=np.uint64)
+    bi, bt, bd = encode_postings(ids, tfs, dls)
+    out_ids, out_tfs, out_dls = decode_postings(bi, bt, bd, len(triples))
+    order = np.argsort(ids, kind="stable")
+    assert np.array_equal(out_ids, ids[order])       # docID-sorted invariant
+    assert np.array_equal(out_tfs, tfs[order])
+    assert np.array_equal(out_dls, dls[order])
+    assert np.all(np.diff(out_ids.astype(np.int64)) > 0)
+
+
+# Spec input domain: printable ASCII + Latin-1 letters. Excluded above
+# U+00FF: characters with multi-char or locale-ish lowercase mappings
+# (e.g. U+0130 İ) lower() differently across Python/DuckDB/JVM; the
+# tokenizer spec treats non-[a-z0-9] as delimiters, so only chars whose
+# lowercase lands in ASCII alnum can affect tokens, and those agree.
+_text = st.text(
+    alphabet=st.characters(min_codepoint=32, max_codepoint=0xFF,
+                           blacklist_categories=("Cs", "Cc")),
+    max_size=200)
+
+
+@given(_text)
+@settings(max_examples=150, deadline=None)
+def test_tokenizer_python_vs_duckdb(s):
+    con = duckdb.connect()
+    expr = tokenize_duckdb_sql("?")
+    rows = con.execute(
+        f"SELECT term FROM (SELECT unnest({expr}) AS term) "
+        f"WHERE {stopword_not_in_sql(LUCENE_STOPWORDS)}", [s]).fetchall()
+    assert [r[0] for r in rows] == tokenize_py(s)
+
+
+def test_xxhash64_known_vectors():
+    # canonical XXH64 vectors (public reference implementation, seed 0)
+    assert xxhash64(b"", seed=0) == _signed(0xEF46DB3751D8E999)
+    assert xxhash64(b"xxhash", seed=0) == _signed(0x32DD38952C4BC720)
+
+
+def _signed(u: int) -> int:
+    return u - (1 << 64) if u >= (1 << 63) else u
