@@ -125,7 +125,7 @@ def run_suite(sf_dir: str, cpus: int) -> dict:
         spark.stop()
 
 
-SCALE_N_DOCS = int(os.environ.get("SPARK_GRAFT_SCALE_DOCS", "100000"))
+SCALE_N_DOCS = int(os.environ.get("SPARK_GRAFT_SCALE_DOCS", "200000"))
 SCALE_CORPUS = f"/tmp/fts_scale_corpus_v2_{SCALE_N_DOCS}"
 SCALE_TRIALS = int(os.environ.get("SPARK_GRAFT_SCALE_TRIALS", "2"))
 

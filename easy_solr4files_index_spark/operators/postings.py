@@ -167,13 +167,30 @@ def write_index(spark: SparkSession, docs: DataFrame, index_dir: str,
                 fail_after_group: int | None = None) -> BuildReport:
     """Build the physical index at ``index_dir``; resumable. ``fail_after_group``
     injects a crash after that many postings groups (kill/resume tests)."""
+    import sys
+
+    _t_start = time.perf_counter()
+    _verbose = os.environ.get("SPARK_FTS_TIMINGS")
+
+    def _mark(label: str) -> None:
+        if _verbose:
+            print(f"[write_index] {label:24s} +{time.perf_counter() - _t_start:7.2f}s",
+                  file=sys.stderr, flush=True)
+
     config = config or IndexConfig()
     os.makedirs(index_dir, exist_ok=True)
     run, skipped = [], []
 
+    from pyspark.sql import Observation
+
     with_ids = assign_doc_ids(docs)
-    fingerprint = _fingerprint(with_ids)
-    done = _done_set(spark, index_dir, fingerprint)
+    resuming = os.path.exists(_lineage_path(index_dir))
+    # fresh build: fingerprint + global stats ride the docs_store write as
+    # an Observation — no separate scan jobs. Resume: the fingerprint must
+    # be known BEFORE deciding what to skip, so pay the upfront scan.
+    fingerprint = _fingerprint(with_ids) if resuming else None
+    _mark("fingerprint/resume-chk")
+    done = _done_set(spark, index_dir, fingerprint) if resuming else set()
 
     # one pass over content (sha256 + tokenize + dl, no join) — see
     # index_build.enrich_docs; cached so docs_store and tf share it
@@ -181,12 +198,22 @@ def write_index(spark: SparkSession, docs: DataFrame, index_dir: str,
     docs_store = enriched.drop("tokens")
 
     t0 = time.time()
+    n_docs = avgdl = None
     if ("docs_store", 0) in done:
         skipped.append("docs_store")
     else:
-        docs_store.write.mode("overwrite").parquet(os.path.join(index_dir, "docs_store"))
+        obs = Observation("build_stats")
+        observed = docs_store.observe(
+            obs, F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl"),
+            F.expr("bit_xor(xxhash64(repo, path, commit))").alias("h"))
+        observed.write.mode("overwrite").parquet(os.path.join(index_dir, "docs_store"))
+        stats = obs.get
+        n_docs, avgdl = stats["n"] or 0, float(stats["avgdl"] or 0.0)
+        if fingerprint is None:
+            fingerprint = f"{stats['n']}:{stats['h']}"
         _append_lineage(spark, index_dir, "docs_store", 0, fingerprint, "done", t0)
         run.append("docs_store")
+    _mark("docs_store written")
 
     tf = (
         enriched.select("doc_id", "dl", F.explode("tokens").alias("term"))
@@ -194,9 +221,10 @@ def write_index(spark: SparkSession, docs: DataFrame, index_dir: str,
         .persist()
     )
 
-    g = spark.read.parquet(os.path.join(index_dir, "docs_store")).agg(
-        F.count("*").alias("n"), F.avg("dl").alias("avgdl")).collect()[0]
-    n_docs, avgdl = g["n"] or 0, float(g["avgdl"] or 0.0)
+    if n_docs is None:
+        g = spark.read.parquet(os.path.join(index_dir, "docs_store")).agg(
+            F.count("*").alias("n"), F.avg("dl").alias("avgdl")).collect()[0]
+        n_docs, avgdl = g["n"] or 0, float(g["avgdl"] or 0.0)
 
     t0 = time.time()
     if ("termstats", 0) in done:
@@ -212,6 +240,7 @@ def write_index(spark: SparkSession, docs: DataFrame, index_dir: str,
          .parquet(os.path.join(index_dir, "termstats")))
         _append_lineage(spark, index_dir, "termstats", 0, fingerprint, "done", t0)
         run.append("termstats")
+    _mark("termstats written")
 
     # postings, written group-by-group for per-partition lineage.
     # The tbucket filter is applied BEFORE the applyInPandas encode (it
@@ -257,6 +286,7 @@ def write_index(spark: SparkSession, docs: DataFrame, index_dir: str,
         m.coalesce(1).write.mode("append").parquet(os.path.join(index_dir, "_metrics"))
         _append_lineage(spark, index_dir, "postings", gi, fingerprint, "done", t0)
         run.append(f"postings:{gi}")
+        _mark(f"postings group {gi}")
         if fail_after_group is not None and gi + 1 >= fail_after_group:
             tf.unpersist()
             enriched.unpersist()
