@@ -20,10 +20,10 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from easy_solr4files_index_spark.functions import dedup, multimodal, similarity, textstats
 from easy_solr4files_index_spark.functions.tokenizer import tokenize_py
 from easy_solr4files_index_spark.operators.index_build import FtsIndex, IndexConfig, build_index
-from easy_solr4files_index_spark.operators.query import search
+from easy_solr4files_index_spark.operators.query import access_filter, search
 from easy_solr4files_index_spark.operators.update import delete_by_repo
 from easy_solr4files_index_spark.oracle import duckdb_sql as osql
-from easy_solr4files_index_spark.sources.docs_source import load_docs
+from easy_solr4files_index_spark.sources.docs_source import ingest_acl_filter, load_docs
 
 _INDEX_CACHE: dict[tuple[int, str, str], object] = {}
 
@@ -59,6 +59,28 @@ def _index_physical(spark: SparkSession, sf_dir: str):
         d = tempfile.mkdtemp(prefix="fts_entry_phys_")
         write_index(spark, load_docs(spark, sf_dir), d, lineage_groups=1)
         _INDEX_CACHE[key] = open_index(spark, d)
+    return _INDEX_CACHE[key]
+
+
+def _index_acl(spark: SparkSession, sf_dir: str) -> FtsIndex:
+    """Index built with the P6 ingest accessibility filter applied:
+    accessible_to == NONE docs never enter the index (doc_ids are ranks
+    over the filtered corpus, like the reference never submitting them)."""
+    key = (id(spark), sf_dir, "acl")
+    if key not in _INDEX_CACHE:
+        _INDEX_CACHE[key] = build_index(
+            spark, ingest_acl_filter(load_docs(spark, sf_dir)))
+    return _INDEX_CACHE[key]
+
+
+def _index_nostop(spark: SparkSession, sf_dir: str) -> FtsIndex:
+    """Reference-exact stopword behavior: the reference ships an EMPTY
+    stopwords.txt (schema.xml:507), so 'the' is searchable — reachable
+    here via IndexConfig(stopwords=())."""
+    key = (id(spark), sf_dir, "nostop")
+    if key not in _INDEX_CACHE:
+        _INDEX_CACHE[key] = build_index(
+            spark, load_docs(spark, sf_dir), IndexConfig(stopwords=()))
     return _INDEX_CACHE[key]
 
 
@@ -208,6 +230,33 @@ def _q_empty_value_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("total"))
 
 
+def _q_access_anon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P9 anonymous access fq: ANONYMOUS AND available<=NOW
+    (SearchServlet.scala:106-111)."""
+    return search(_index(spark, sf_dir), "spark join", k=10,
+                  filters=access_filter(None))
+
+
+def _q_access_authed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P10 authed access fq: cross-key OR (ANONYMOUS OR KNOWN OR
+    depositor:user3) AND (available<=NOW OR depositor:user3)
+    (SearchServlet.scala:112-118)."""
+    return search(_index(spark, sf_dir), "spark join", k=10,
+                  filters=access_filter("user3"))
+
+
+def _q_ingest_acl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P6: search over an index that never ingested accessible_to=NONE
+    docs (EasySolr4filesIndexApp.scala:125-144)."""
+    return search(_index_acl(spark, sf_dir), "table scan", k=10)
+
+
+def _q_topk_nostop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 behavior-compat: empty stopword list (schema.xml:507) makes
+    'the' a searchable term."""
+    return search(_index_nostop(spark, sf_dir), "the spark", k=10)
+
+
 def _q_path_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P14 prefix predicate (folder-delete analog, docs/index.md:19)."""
     idx = _index(spark, sf_dir)
@@ -297,6 +346,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "meta_typed_id": _q_meta_typed_id,
         "meta_empty_value_filter": _q_empty_value_filter,
         "fts_path_prefix": _q_path_prefix,
+        "fts_topk_access_anon": _q_access_anon,
+        "fts_topk_access_authed": _q_access_authed,
+        "fts_ingest_acl": _q_ingest_acl,
+        "fts_topk_nostop": _q_topk_nostop,
         "dedup_exact_groups": _q_dedup_exact,
         "dedup_ngram_jaccard": _q_dedup_jaccard,
         "dedup_minhash_lsh": _q_dedup_minhash,
@@ -350,9 +403,19 @@ def oracle_sql() -> dict[str, str]:
         "SELECT doc_id, regexp_replace(source, '^src', '') || ' ' || "
         "CAST(doc_id AS VARCHAR) AS typed_id FROM documents")
     out["meta_empty_value_filter"] = (
-        "SELECT sum(CASE WHEN coalesce(text, '') <> '' THEN 1 ELSE 0 END) AS non_empty, "
-        "count(*) AS total FROM documents")
+        # CAST: DuckDB types integer sum() as HUGEINT (decimal128 in Arrow);
+        # Spark emits int64 — cast for schema/hash parity
+        "SELECT CAST(sum(CASE WHEN coalesce(text, '') <> '' THEN 1 ELSE 0 END) AS BIGINT) "
+        "AS non_empty, count(*) AS total FROM documents")
     out["fts_path_prefix"] = osql.path_prefix_sql("docs/0000001")
+    out["fts_topk_access_anon"] = osql.bm25_topk_sql(
+        tokenize_py("spark join"), k=10, filters=access_filter(None))
+    out["fts_topk_access_authed"] = osql.bm25_topk_sql(
+        tokenize_py("spark join"), k=10, filters=access_filter("user3"))
+    out["fts_ingest_acl"] = osql.bm25_topk_sql(
+        tokenize_py("table scan"), k=10, ingest_where="doc_id % 10 <> 0")
+    out["fts_topk_nostop"] = osql.bm25_topk_sql(
+        tokenize_py("the spark", ()), k=10, stopwords=())
     out["dedup_exact_groups"] = dedup.exact_dup_groups_sql()
     out["dedup_ngram_jaccard"] = dedup.ngram_jaccard_pairs_sql(threshold=0.6)
     out["dedup_minhash_lsh"] = dedup.minhash_band_candidates_sql()

@@ -176,17 +176,28 @@ FROM bands x JOIN bands y
 # ----------------------------------------------------------------- simhash
 
 def simhash32(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """(doc_id, simhash) — 32-bit tf-weighted SimHash over analyzer tokens."""
+    """(doc_id, simhash) — 32-bit tf-weighted SimHash over analyzer tokens.
+
+    The 32 per-bit weighted sums are 32 aggregate EXPRESSIONS inside one
+    hash aggregate over (doc_id) — not a 32× row explode: the shuffle
+    carries one row per (doc, term), and map-side partial aggregation
+    collapses it to one row per doc per map task. (Round-1 shape exploded
+    (doc, term) × 32 bits, multiplying the tf shuffle ×32 for nothing.)
+    """
     toks = tokenize_expr(F.coalesce(F.col(text_col), F.lit("")), stopwords=())
     tf = (docs.select("doc_id", F.explode(toks).alias("term"))
           .groupBy("doc_id", "term").agg(F.count("*").alias("tf")))
     x32 = F.expr(MD5INT_SPARK.format(x="term")) % F.lit(4294967296)
-    bits = (tf.withColumn("x", x32)
-            .select("doc_id", "tf", "x", F.explode(F.sequence(F.lit(0), F.lit(31))).alias("j"))
-            .withColumn("w", F.col("tf") * (2 * F.expr("shiftright(x, j) & 1") - 1))
-            .groupBy("doc_id", "j").agg(F.sum("w").alias("s")))
-    sig = (bits.withColumn("bit", F.when(F.col("s") > 0, F.expr("shiftleft(cast(1 as bigint), j)")).otherwise(F.lit(0)))
-           .groupBy("doc_id").agg(F.sum("bit").alias("simhash")))
+    per_bit = [
+        F.sum(F.col("tf") * (2 * F.expr(f"shiftright(x, {j}) & 1") - 1)).alias(f"s{j}")
+        for j in range(32)
+    ]
+    sums = tf.withColumn("x", x32).groupBy("doc_id").agg(*per_bit)
+    sig_expr = None
+    for j in range(32):
+        bit = F.when(F.col(f"s{j}") > 0, F.lit(1 << j).cast("long")).otherwise(F.lit(0).cast("long"))
+        sig_expr = bit if sig_expr is None else sig_expr + bit
+    sig = sums.select("doc_id", sig_expr.alias("simhash"))
     return docs.select("doc_id").join(sig, "doc_id", "left").fillna({"simhash": 0})
 
 
@@ -205,8 +216,9 @@ bits AS (
   GROUP BY 1, 2
 ),
 sig AS (
+  -- CAST: DuckDB integer sum() is HUGEINT; Spark emits int64
   SELECT doc_id,
-         sum(CASE WHEN s > 0 THEN CAST(1 AS BIGINT) << j ELSE 0 END) AS simhash
+         CAST(sum(CASE WHEN s > 0 THEN CAST(1 AS BIGINT) << j ELSE 0 END) AS BIGINT) AS simhash
   FROM bits GROUP BY 1
 )
 SELECT d.doc_id, coalesce(sig.simhash, 0) AS simhash

@@ -118,7 +118,10 @@ def signlsh_buckets(emb: DataFrame, n_planes: int = 4,
               .select(F.col(id_col).alias("pid"), _as_double(F.col(vec_col)).alias("pv")))
     rest = (emb.filter(F.col(id_col) >= n_planes)
             .select(F.col(id_col).alias("vid"), _as_double(F.col(vec_col)).alias("v")))
-    bit = F.when(_dot(F.col("pv"), F.col("v")) > 0,
+    # round before the sign test: the dot is a float sum whose association
+    # order differs between engines (array-order here, join-row-order in the
+    # oracle); a near-zero dot could flip sign without the quantization
+    bit = F.when(F.round(_dot(F.col("pv"), F.col("v")), 6) > 0,
                  F.expr("shiftleft(cast(1 as bigint), cast(pid as int))")).otherwise(F.lit(0))
     buckets = (rest.crossJoin(F.broadcast(planes))
                .groupBy("vid").agg(F.sum(bit).alias("bucket")))
@@ -140,7 +143,9 @@ dots AS (
   GROUP BY 1, 2
 ),
 buckets AS (
-  SELECT vid, sum(CASE WHEN dot > 0 THEN CAST(1 AS BIGINT) << pid ELSE 0 END) AS bucket
+  -- CAST: DuckDB integer sum() is HUGEINT; round() matches the Spark side
+  SELECT vid,
+         CAST(sum(CASE WHEN round(dot, 6) > 0 THEN CAST(1 AS BIGINT) << pid ELSE 0 END) AS BIGINT) AS bucket
   FROM dots GROUP BY 1
 )
 SELECT bucket, count(*) AS cnt FROM buckets GROUP BY 1

@@ -86,13 +86,19 @@ def tokens_df(docs_with_ids: DataFrame, config: IndexConfig) -> DataFrame:
 def enrich_docs(docs_with_ids: DataFrame, config: IndexConfig) -> DataFrame:
     """One pass over content: sha256 invariant + tokens + dl in a single
     projection (whole-stage codegen) — tokenization runs exactly once and
-    ``dl`` needs no join back (content is never read again downstream)."""
+    ``dl`` needs no join back (content is never read again downstream).
+
+    Any extra metadata columns on the source (e.g. the access-control
+    columns accessible_to/date_available/depositor — SURVEY.md P6/P9/P10)
+    ride through into docs_store as plain filterable columns."""
     if config.use_arrow_tokenizer:
         tok = make_tokenize_udf(config.stopwords)(_searchable_text(config))
     else:
         tok = tokenize_expr(_searchable_text(config), config.stopwords)
+    core = ["doc_id", "repo", "path", "commit", "lang"]
+    extras = [c for c in docs_with_ids.columns if c not in core + ["content"]]
     return docs_with_ids.select(
-        "doc_id", "repo", "path", "commit", "lang",
+        *core, *extras,
         F.sha2(F.col("content"), 256).alias("sha256"),
         tok.alias("tokens"),
     ).withColumn("dl", F.size("tokens").cast("long"))

@@ -1,0 +1,320 @@
+"""Physical incremental maintenance: delete-one-repo / append / upsert /
+compact over the on-disk index — cost ∝ bag size, not corpus size.
+
+The reference's core update cycle is delete-one-bag + reindex-one-bag
+(EasySolr4filesIndexApp.scala:48-51, UpdateServlet.scala:59-87); round 1
+only had O(corpus) full rebuilds. This module makes the physical index
+maintainable per key:
+
+Why cost ∝ bag: doc_ids are global ranks ordered by (repo, path,
+commit), so one repo occupies a CONTIGUOUS doc_id range per segment;
+posting buckets are doc_id ranges (bucket = doc_id // span), so a repo's
+postings live in a contiguous bucket range and every scan below is
+pruned (parquet row-group stats on `bucket`, partition dirs on tbucket
+untouched beyond file appends).
+
+Delete = tombstone, not rewrite:
+  * ``_tombstones/`` gains the repo's (lo, hi) doc_id range(s); the
+    docs_store view and the WAND decode kernel mask them everywhere.
+  * ``_termstats_delta/`` gains negative df rows computed by decoding
+    ONLY the affected buckets' blocks.
+  * globals n_docs/avgdl/dl_sum updated exactly, so BM25 scores after a
+    delete equal a fresh build of the remaining corpus (scores depend on
+    tf, dl, df, N, avgdl — none on doc_id density).
+  * stored block max_tfnorm values were encoded with an older avgdl;
+    the query side multiplies bucket upper bounds by
+    max(1, avgdl_now / min_encode_avgdl), which is a safe bound because
+    tfnorm(a') <= tfnorm(a) * (a'/a) for a' > a (the dl/avgdl term is
+    the only avgdl dependence and it sits in the denominator) — pruning
+    stays exact, merely slightly less aggressive until compaction.
+
+Append = new segment:
+  * new docs take doc_ids from a fresh bucket-aligned base (globals
+    ``next_base``), so their (term, bucket) block rows can never collide
+    with existing ones — the postings write is a pure file append.
+  * blocks encode with the CURRENT avgdl; ``min_encode_avgdl`` tracks
+    the minimum ever used (the UB-inflation base above).
+  * doc_id no longer equals the *global* (repo, path, commit) rank after
+    an append (the segment sits at the end), so exact-score ties may
+    break in segment order rather than global key order until
+    ``compact_index`` — documented divergence, same class as Lucene's
+    per-segment docids before a forceMerge.
+
+Compact = rewrite-in-place (Solr optimize analog): drops tombstoned
+postings/doc rows, folds termstats deltas into the base, re-encodes
+max_tfnorm against the current avgdl, clears the UB inflation.
+
+``index_dir`` must be a posix-visible shared filesystem (as for
+postings.write_index); driver-side small writes go through pyarrow.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..functions.codec import encode_postings, varbyte_decode
+from .docids import assign_doc_ids
+from .index_build import enrich_docs
+from .postings import (POSTINGS_SCHEMA, PhysicalIndex, _append_lineage,
+                       _make_encoder, _tbucket, open_index)
+
+
+def _read_globals(index_dir: str) -> dict:
+    with open(os.path.join(index_dir, "globals.json")) as fh:
+        return json.load(fh)
+
+
+def _write_globals(index_dir: str, meta: dict) -> None:
+    tmp = os.path.join(index_dir, "globals.json.tmp")
+    with open(tmp, "w") as fh:
+        json.dump(meta, fh)
+    os.replace(tmp, os.path.join(index_dir, "globals.json"))
+
+
+def _append_tombstones(index_dir: str, ranges: list[tuple[int, int]], repo: str) -> None:
+    import uuid
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    path = os.path.join(index_dir, "_tombstones")
+    os.makedirs(path, exist_ok=True)
+    table = pa.table({
+        "lo": pa.array([int(lo) for lo, _ in ranges], pa.int64()),
+        "hi": pa.array([int(hi) for _, hi in ranges], pa.int64()),
+        "repo": pa.array([repo] * len(ranges), pa.string()),
+        "deleted_at": pa.array([time.time()] * len(ranges), pa.float64()),
+    })
+    pq.write_table(table, os.path.join(path, f"part-{uuid.uuid4().hex}.parquet"))
+
+
+def _segments(meta: dict) -> list[list[int]]:
+    # [start, end) doc_id spans; pre-maintenance indexes have one segment
+    return meta.get("segments") or [[0, int(meta["next_base"])]]
+
+
+def _repo_ranges(idx: PhysicalIndex, meta: dict, repo: str) -> list[dict]:
+    """(lo, hi, n, dl_sum) of the repo's live docs per segment. One pruned
+    docs_store scan; a broadcast join tags each doc with its segment."""
+    segs = _segments(meta)
+    seg_df = idx.spark.createDataFrame(
+        [(i, s[0], s[1]) for i, s in enumerate(segs)], "seg int, s0 long, s1 long")
+    rows = (idx.docs_store.filter(F.col("repo") == repo)
+            .join(F.broadcast(seg_df),
+                  (F.col("doc_id") >= F.col("s0")) & (F.col("doc_id") < F.col("s1")))
+            .groupBy("seg")
+            .agg(F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi"),
+                 F.count("*").alias("n"), F.sum("dl").alias("dls"))
+            .collect())
+    out = []
+    for r in rows:
+        # within a segment doc_ids are ranks of (repo, path, commit) —
+        # repo-contiguity is a build invariant worth asserting
+        assert r["n"] == r["hi"] - r["lo"] + 1, \
+            f"repo {repo} not contiguous in segment {r['seg']}"
+        out.append({"lo": r["lo"], "hi": r["hi"], "n": r["n"], "dls": r["dls"]})
+    return out
+
+
+def _df_delta_kernel(ranges: list[tuple[int, int]], sign: int):
+    """Per posting block: how many decoded doc_ids fall in the ranges."""
+    rs = [(int(lo), int(hi)) for lo, hi in ranges]
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            terms, tbs, cnts = [], [], []
+            for row in pdf.itertuples(index=False):
+                ids = np.cumsum(varbyte_decode(row.doc_ids, row.n), dtype=np.uint64).astype(np.int64)
+                mask = np.zeros(ids.shape, dtype=bool)
+                for lo, hi in rs:
+                    mask |= (ids >= lo) & (ids <= hi)
+                c = int(mask.sum())
+                if c:
+                    terms.append(row.term)
+                    tbs.append(row.tbucket)
+                    cnts.append(sign * c)
+            yield pd.DataFrame({"term": pd.Series(terms, dtype=object),
+                                "tbucket": pd.Series(tbs, dtype="int32"),
+                                "df": pd.Series(cnts, dtype="int64")})
+
+    return kernel
+
+
+def delete_repo_physical(spark: SparkSession, index_dir: str, repo: str) -> PhysicalIndex:
+    """`deleteDocuments("id:<bagId>*")` analog over the physical index
+    (EasySolr4filesIndexApp.scala:49). Touches only the repo's doc-range
+    buckets; returns the reopened index."""
+    t0 = time.time()
+    idx = open_index(spark, index_dir)
+    meta = _read_globals(index_dir)
+    ranges = _repo_ranges(idx, meta, repo)
+    if not ranges:
+        return idx
+    span = idx.config.bucket_span
+    n_del = sum(r["n"] for r in ranges)
+    dl_del = sum(r["dls"] for r in ranges)
+
+    # negative df per term, from ONLY the affected buckets' blocks
+    bcond = F.lit(False)
+    for r in ranges:
+        bcond = bcond | ((F.col("bucket") >= r["lo"] // span) &
+                         (F.col("bucket") <= r["hi"] // span))
+    delta = (idx.postings.filter(bcond)
+             .select("term", "tbucket", "n", "doc_ids")
+             .mapInPandas(_df_delta_kernel([(r["lo"], r["hi"]) for r in ranges], -1),
+                          "term string, tbucket int, df long"))
+    (delta.groupBy("term", "tbucket").agg(F.sum("df").alias("df"))
+     .write.mode("append").partitionBy("tbucket")
+     .parquet(os.path.join(index_dir, "_termstats_delta")))
+
+    _append_tombstones(index_dir, [(r["lo"], r["hi"]) for r in ranges], repo)
+    meta["n_docs"] = int(meta["n_docs"]) - n_del
+    meta["dl_sum"] = int(meta.get("dl_sum", 0)) - int(dl_del)
+    meta["avgdl"] = (meta["dl_sum"] / meta["n_docs"]) if meta["n_docs"] else 0.0
+    meta.setdefault("min_encode_avgdl", meta["avgdl"] or 0.0)
+    meta.setdefault("segments", _segments(meta))
+    _write_globals(index_dir, meta)
+    _append_lineage(spark, index_dir, f"delete:{repo}", 0,
+                    meta.get("fingerprint", ""), "done", t0)
+    return open_index(spark, index_dir)
+
+
+def append_docs_physical(spark: SparkSession, index_dir: str,
+                         new_docs: DataFrame) -> PhysicalIndex:
+    """Index new docs as a fresh segment appended to the physical index.
+    Only the new docs are tokenized/encoded; existing files are untouched
+    (postings/termstats-delta file appends)."""
+    t0 = time.time()
+    idx = open_index(spark, index_dir)
+    cfg = idx.config
+    meta = _read_globals(index_dir)
+    base = int(meta["next_base"])
+
+    with_ids = assign_doc_ids(new_docs).withColumn(
+        "doc_id", (F.col("doc_id") + base).cast("long"))
+    enriched = enrich_docs(with_ids, cfg).persist()
+    try:
+        g = enriched.agg(F.count("*").alias("n"), F.sum("dl").alias("dls")).collect()[0]
+        n_new, dl_new = g["n"] or 0, int(g["dls"] or 0)
+        if n_new == 0:
+            return idx
+        n2 = int(meta["n_docs"]) + n_new
+        dl_sum2 = int(meta.get("dl_sum", 0)) + dl_new
+        avgdl2 = dl_sum2 / n2 if n2 else 0.0
+
+        enriched.drop("tokens").write.mode("append").parquet(
+            os.path.join(index_dir, "docs_store"))
+
+        tf = (enriched.select("doc_id", "dl", F.explode("tokens").alias("term"))
+              .groupBy("term", "doc_id", "dl").agg(F.count("*").alias("tf"))
+              .persist())
+        tfb = (tf.withColumn("bucket", (F.col("doc_id") / cfg.bucket_span).cast("long"))
+               .withColumn("tbucket", _tbucket(F.col("term"), cfg.term_buckets)))
+        # encode with the POST-append avgdl (exact scoring stats)
+        part = tfb.groupBy("tbucket", "bucket").applyInPandas(
+            _make_encoder(cfg.k1, cfg.b, avgdl2), POSTINGS_SCHEMA)
+        (part.repartition(cfg.term_buckets, F.col("tbucket"))
+         .write.mode("append").partitionBy("tbucket")
+         .parquet(os.path.join(index_dir, "postings")))
+        (tf.groupBy("term").agg(F.count("*").alias("df"))
+         .withColumn("tbucket", _tbucket(F.col("term"), cfg.term_buckets))
+         .write.mode("append").partitionBy("tbucket")
+         .parquet(os.path.join(index_dir, "_termstats_delta")))
+        tf.unpersist()
+    finally:
+        enriched.unpersist()
+
+    segs = _segments(meta)
+    seg_end = base + n_new
+    meta["segments"] = segs + [[base, seg_end]]
+    meta["n_docs"], meta["dl_sum"], meta["avgdl"] = n2, dl_sum2, avgdl2
+    prev_min = meta.get("min_encode_avgdl", meta["avgdl"])
+    meta["min_encode_avgdl"] = min(prev_min, avgdl2) if avgdl2 else prev_min
+    meta["next_base"] = ((seg_end + cfg.bucket_span - 1)
+                         // cfg.bucket_span) * cfg.bucket_span
+    _write_globals(index_dir, meta)
+    _append_lineage(spark, index_dir, "append", 0,
+                    meta.get("fingerprint", ""), "done", t0)
+    return open_index(spark, index_dir)
+
+
+def upsert_repos_physical(spark: SparkSession, index_dir: str,
+                          new_docs: DataFrame) -> PhysicalIndex:
+    """Delete-before-insert per repo (the reference's idempotent update,
+    EasySolr4filesIndexApp.scala:48-51): every repo present in new_docs
+    fully replaces its docs; cost ∝ the touched repos, not the corpus."""
+    repos = [r["repo"] for r in new_docs.select("repo").distinct().collect()]
+    for repo in sorted(repos):
+        delete_repo_physical(spark, index_dir, repo)
+    return append_docs_physical(spark, index_dir, new_docs)
+
+
+def compact_index(spark: SparkSession, index_dir: str) -> PhysicalIndex:
+    """Fold tombstones + termstats deltas into the base files and refresh
+    block max_tfnorm against the current avgdl (Solr optimize analog).
+    doc_ids keep their values (gaps are fine — BM25 and tie-breaks only
+    need order); a full re-rank would be a rebuild, not a compaction."""
+    t0 = time.time()
+    idx = open_index(spark, index_dir)
+    cfg = idx.config
+    meta = _read_globals(index_dir)
+    delta_path = os.path.join(index_dir, "_termstats_delta")
+    if not idx.tombstones and not os.path.exists(delta_path):
+        return idx
+    avgdl = meta["avgdl"] if meta["avgdl"] > 0 else 1.0
+    k1, b = cfg.k1, cfg.b
+    ranges = [(int(lo), int(hi)) for lo, hi in idx.tombstones]
+
+    def rewrite(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for row in pdf.itertuples(index=False):
+                ids = np.cumsum(varbyte_decode(row.doc_ids, row.n), dtype=np.uint64).astype(np.int64)
+                tfs = varbyte_decode(row.tfs, row.n)
+                dls = varbyte_decode(row.dls, row.n)
+                keep = np.ones(ids.shape, dtype=bool)
+                for lo, hi in ranges:
+                    keep &= ~((ids >= lo) & (ids <= hi))
+                if not keep.any():
+                    continue
+                ids, tfs, dls = ids[keep], tfs[keep], dls[keep]
+                e_ids, e_tfs, e_dls = encode_postings(ids, tfs, dls)
+                tfn = tfs * (k1 + 1.0) / (tfs + k1 * (1.0 - b + b * dls.astype(np.float64) / avgdl))
+                rows.append((row.term, row.bucket, int(ids.size), e_ids, e_tfs,
+                             e_dls, float(tfn.max()), row.tbucket))
+            yield pd.DataFrame(rows, columns=["term", "bucket", "n", "doc_ids",
+                                              "tfs", "dls", "max_tfnorm", "tbucket"])
+
+    tmp_post = os.path.join(index_dir, "postings.compact")
+    (idx.postings.mapInPandas(rewrite, POSTINGS_SCHEMA)
+     .repartition(cfg.term_buckets, F.col("tbucket"))
+     .write.mode("overwrite").partitionBy("tbucket").parquet(tmp_post))
+
+    tmp_ts = os.path.join(index_dir, "termstats.compact")
+    (idx.termstats  # merged view: base + deltas, df > 0
+     .repartition(cfg.term_buckets, F.col("tbucket"))
+     .write.mode("overwrite").partitionBy("tbucket").parquet(tmp_ts))
+
+    tmp_docs = os.path.join(index_dir, "docs_store.compact")
+    idx.docs_store.write.mode("overwrite").parquet(tmp_docs)  # tombstones filtered
+
+    for tmp, final in ((tmp_post, "postings"), (tmp_ts, "termstats"),
+                       (tmp_docs, "docs_store")):
+        dst = os.path.join(index_dir, final)
+        shutil.rmtree(dst, ignore_errors=True)
+        os.replace(tmp, dst)
+    shutil.rmtree(os.path.join(index_dir, "_tombstones"), ignore_errors=True)
+    shutil.rmtree(delta_path, ignore_errors=True)
+    meta["min_encode_avgdl"] = meta["avgdl"]
+    _write_globals(index_dir, meta)
+    _append_lineage(spark, index_dir, "compact", 0,
+                    meta.get("fingerprint", ""), "done", t0)
+    return open_index(spark, index_dir)

@@ -199,16 +199,19 @@ def write_index(spark: SparkSession, docs: DataFrame, index_dir: str,
 
     t0 = time.time()
     n_docs = avgdl = None
+    dl_sum = None
     if ("docs_store", 0) in done:
         skipped.append("docs_store")
     else:
         obs = Observation("build_stats")
         observed = docs_store.observe(
             obs, F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl"),
+            F.sum("dl").alias("dl_sum"),
             F.expr("bit_xor(xxhash64(repo, path, commit))").alias("h"))
         observed.write.mode("overwrite").parquet(os.path.join(index_dir, "docs_store"))
         stats = obs.get
         n_docs, avgdl = stats["n"] or 0, float(stats["avgdl"] or 0.0)
+        dl_sum = int(stats["dl_sum"] or 0)
         if fingerprint is None:
             fingerprint = f"{stats['n']}:{stats['h']}"
         _append_lineage(spark, index_dir, "docs_store", 0, fingerprint, "done", t0)
@@ -223,8 +226,10 @@ def write_index(spark: SparkSession, docs: DataFrame, index_dir: str,
 
     if n_docs is None:
         g = spark.read.parquet(os.path.join(index_dir, "docs_store")).agg(
-            F.count("*").alias("n"), F.avg("dl").alias("avgdl")).collect()[0]
+            F.count("*").alias("n"), F.avg("dl").alias("avgdl"),
+            F.sum("dl").alias("dl_sum")).collect()[0]
         n_docs, avgdl = g["n"] or 0, float(g["avgdl"] or 0.0)
+        dl_sum = int(g["dl_sum"] or 0)
 
     t0 = time.time()
     if ("termstats", 0) in done:
@@ -296,11 +301,19 @@ def write_index(spark: SparkSession, docs: DataFrame, index_dir: str,
     tfb.unpersist()
     enriched.unpersist()
 
-    meta = {"n_docs": n_docs, "avgdl": avgdl, "fingerprint": fingerprint,
+    meta = {"n_docs": n_docs, "avgdl": avgdl, "dl_sum": dl_sum,
+            "fingerprint": fingerprint,
             "k1": config.k1, "b": config.b, "bucket_span": config.bucket_span,
             "term_buckets": config.term_buckets,
             "stopwords": list(config.stopwords),
-            "include_path_tokens": config.include_path_tokens}
+            "include_path_tokens": config.include_path_tokens,
+            # incremental-maintenance state (operators/maintenance.py):
+            # smallest avgdl any stored max_tfnorm was encoded with (query-
+            # side UB inflation keeps pruning safe after avgdl drifts), and
+            # the next doc_id segment base for appends
+            "min_encode_avgdl": avgdl,
+            "next_base": ((n_docs + config.bucket_span - 1)
+                          // config.bucket_span) * config.bucket_span}
     with open(os.path.join(index_dir, "globals.json"), "w") as fh:
         json.dump(meta, fh)
     return BuildReport(index_dir, fingerprint, n_docs, avgdl, run, skipped)
@@ -315,10 +328,25 @@ class PhysicalIndex:
     config: IndexConfig
     n_docs: int
     avgdl: float
+    # incremental-maintenance state (operators/maintenance.py): tombstoned
+    # doc_id ranges are filtered everywhere; min_encode_avgdl feeds the
+    # query-side UB inflation that keeps block-max pruning safe after
+    # deletes/appends shift avgdl away from what blocks were encoded with
+    min_encode_avgdl: float = 0.0
+    tombstones: tuple[tuple[int, int], ...] = ()
+
+    def _not_tombstoned(self) -> F.Column:
+        cond = F.lit(True)
+        for lo, hi in self.tombstones:
+            cond = cond & ~((F.col("doc_id") >= lo) & (F.col("doc_id") <= hi))
+        return cond
 
     @property
     def docs_store(self) -> DataFrame:
-        return self.spark.read.parquet(os.path.join(self.index_dir, "docs_store"))
+        df = self.spark.read.parquet(os.path.join(self.index_dir, "docs_store"))
+        if self.tombstones:
+            df = df.filter(self._not_tombstoned())
+        return df
 
     @property
     def postings(self) -> DataFrame:
@@ -326,7 +354,18 @@ class PhysicalIndex:
 
     @property
     def termstats(self) -> DataFrame:
-        return self.spark.read.parquet(os.path.join(self.index_dir, "termstats"))
+        """Base df counts merged with incremental deltas (delete: negative,
+        append: positive). The union+agg keeps term/tbucket filters
+        pushable below both scans (they are grouping keys)."""
+        base = (self.spark.read.parquet(os.path.join(self.index_dir, "termstats"))
+                .select("term", "tbucket", "df"))
+        delta_path = os.path.join(self.index_dir, "_termstats_delta")
+        if not os.path.exists(delta_path):
+            return base
+        delta = self.spark.read.parquet(delta_path).select("term", "tbucket", "df")
+        return (base.unionByName(delta)
+                .groupBy("term", "tbucket").agg(F.sum("df").alias("df"))
+                .filter(F.col("df") > 0))
 
     @property
     def metrics(self) -> DataFrame:
@@ -345,4 +384,11 @@ def open_index(spark: SparkSession, index_dir: str) -> PhysicalIndex:
                          include_path_tokens=meta["include_path_tokens"],
                          bucket_span=meta["bucket_span"],
                          term_buckets=meta["term_buckets"])
-    return PhysicalIndex(spark, index_dir, config, meta["n_docs"], meta["avgdl"])
+    tomb_path = os.path.join(index_dir, "_tombstones")
+    tombstones: tuple[tuple[int, int], ...] = ()
+    if os.path.exists(tomb_path):
+        rows = spark.read.parquet(tomb_path).collect()
+        tombstones = tuple(sorted((r["lo"], r["hi"]) for r in rows))
+    return PhysicalIndex(spark, index_dir, config, meta["n_docs"], meta["avgdl"],
+                         min_encode_avgdl=meta.get("min_encode_avgdl", meta["avgdl"]),
+                         tombstones=tombstones)

@@ -38,15 +38,68 @@ def _idf_expr(n_docs: int) -> F.Column:
     return F.log(1.0 + (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5))
 
 
-def _filters_expr(filters: dict[str, list[str]] | None):
-    """fq semantics: OR within a key, AND across keys (SearchServlet.scala:131-139)."""
+# fq predicate forms accepted by every query entrypoint:
+#   dict {key: [values]}          — OR within a key, AND across keys
+#                                   (user filters, SearchServlet.scala:131-139)
+#   ["and"|"or", p1, p2, ...]     — boolean combinators; "or" across
+#                                   DIFFERENT keys is what the reference's
+#                                   access filters need (SearchServlet.scala:112-118)
+#   ["in", key, [values]]         — set membership
+#   ["=", key, value]             — equality
+#   ["<=date", key, "YYYY-MM-DD"] — timestamp upper bound ([* TO NOW] analog)
+#   ["startswith", key, prefix]   — P14 prefix predicate
+def _filters_expr(filters):
+    """fq semantics as a Catalyst boolean expression (pushdown-friendly)."""
     if not filters:
         return F.lit(True)
-    cond = F.lit(True)
-    for key, values in filters.items():
-        vals = values if isinstance(values, (list, tuple)) else [values]
-        cond = cond & F.col(key).isin(list(vals))
-    return cond
+    if isinstance(filters, dict):
+        cond = F.lit(True)
+        for key, values in filters.items():
+            vals = values if isinstance(values, (list, tuple)) else [values]
+            cond = cond & F.col(key).isin(list(vals))
+        return cond
+    op = filters[0]
+    if op == "and":
+        cond = F.lit(True)
+        for sub in filters[1:]:
+            cond = cond & _filters_expr(sub)
+        return cond
+    if op == "or":
+        cond = F.lit(False)
+        for sub in filters[1:]:
+            cond = cond | _filters_expr(sub)
+        return cond
+    if op == "in":
+        return F.col(filters[1]).isin(list(filters[2]))
+    if op == "=":
+        return F.col(filters[1]) == F.lit(filters[2])
+    if op == "<=date":
+        return F.col(filters[1]) <= F.lit(filters[2]).cast("timestamp")
+    if op == "startswith":
+        return F.col(filters[1]).startswith(filters[2])
+    raise ValueError(f"unknown filter op: {op!r}")
+
+
+def access_filter(user: str | None = None, now: str | None = None):
+    """The reference's access-control fq (SearchServlet.scala:106-121):
+
+    anonymous — `easy_file_accessible_to:ANONYMOUS` AND
+    `easy_dataset_date_available:[* TO NOW]` (:106-111); authed —
+    `(ANONYMOUS OR KNOWN OR depositor:<user>)` AND
+    `(available<=NOW OR depositor:<user>)` (:112-118). NOW is pinned
+    (sources.docs_source.ACCESS_NOW) for deterministic results."""
+    if now is None:
+        from ..sources.docs_source import ACCESS_NOW
+        now = ACCESS_NOW
+    if user is None:
+        return ["and",
+                ["in", "accessible_to", ["ANONYMOUS"]],
+                ["<=date", "date_available", now]]
+    return ["and",
+            ["or", ["in", "accessible_to", ["ANONYMOUS", "KNOWN"]],
+                   ["=", "depositor", user]],
+            ["or", ["<=date", "date_available", now],
+                   ["=", "depositor", user]]]
 
 
 def score_terms(index: FtsIndex, terms: list[str]) -> DataFrame:

@@ -160,7 +160,9 @@ def search_blockmax(index: PhysicalIndex, text: str | None = None, k: int = 10,
         # survivors stay distributed (no driver collect of bucket ids):
         # a doc's postings all live in its one bucket, so phases score
         # disjoint doc sets and a plain union is exact.
-        rest_df = ub.filter(~F.col("bucket").isin(hot) & (F.col("ub") > tau)).select("bucket")
+        # >= tau, not > tau: a pruned doc whose exact score EQUALS tau but
+        # whose doc_id is lower than the (k+skip)-th would win the tie-break
+        rest_df = ub.filter(~F.col("bucket").isin(hot) & (F.col("ub") >= tau)).select("bucket")
         phase_b = _score_blocks(blocks.join(rest_df, "bucket"),
                                 cfg.k1, cfg.b, index.avgdl, single_term=single)
         return topk(phase_a.unionByName(phase_b))

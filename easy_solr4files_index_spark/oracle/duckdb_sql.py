@@ -17,13 +17,25 @@ K1, B = 1.2, 0.75
 # (repo, path) is the unique doc key after the adapter; doc_id is its
 # dense rank — identical to operators/docids.assign_doc_ids because the
 # 40-hex commit is a function of (repo, doc_id) and never perturbs order.
-PREFIX = f"""
+# The access-control columns replicate sources/docs_source._acl_columns
+# (pure functions of the raw doc_id). ``ingest_where`` (over the raw
+# ``documents`` columns) models the P6 ingest accessibility filter:
+# doc_ids are ranks over the FILTERED corpus, exactly like an index
+# built from ingest_acl_filter(load_docs(...)).
+_PREFIX_TMPL = """
 WITH docs AS (
   SELECT source AS repo,
          'docs/' || lpad(CAST(doc_id AS VARCHAR), 8, '0') || '.txt' AS path,
          lang,
-         coalesce(text, '') AS content
+         coalesce(text, '') AS content,
+         CASE WHEN doc_id % 10 = 0 THEN 'NONE'
+              WHEN doc_id % 10 = 1 THEN 'RESTRICTED_REQUEST'
+              WHEN doc_id % 10 IN (2, 3) THEN 'KNOWN'
+              ELSE 'ANONYMOUS' END AS accessible_to,
+         TIMESTAMP '2020-01-01' + INTERVAL (doc_id % 3650) DAY AS date_available,
+         'user' || CAST(doc_id % 7 AS VARCHAR) AS depositor
   FROM documents
+  WHERE {ingest_where}
 ),
 ids AS (
   SELECT repo, path, lang,
@@ -32,13 +44,14 @@ ids AS (
 ),
 toks0 AS (
   SELECT repo, path,
-         unnest({tokenize_duckdb_sql("content || ' ' || path")}) AS term
+         unnest({tok_expr}) AS term
   FROM docs
 ),
-tok AS (SELECT * FROM toks0 WHERE {stopword_not_in_sql(LUCENE_STOPWORDS)}),
+tok AS (SELECT * FROM toks0 WHERE {stop_where}),
 dl0 AS (SELECT repo, path, count(*) AS dl FROM tok GROUP BY 1, 2),
 docl AS (
-  SELECT i.doc_id, d.repo, d.path, d.lang, coalesce(dl0.dl, 0) AS dl
+  SELECT i.doc_id, d.repo, d.path, d.lang, coalesce(dl0.dl, 0) AS dl,
+         d.accessible_to, d.date_available, d.depositor
   FROM docs d
   JOIN ids i USING (repo, path)
   LEFT JOIN dl0 USING (repo, path)
@@ -49,24 +62,53 @@ dft AS (SELECT term, count(*) AS df FROM tf GROUP BY 1)
 """
 
 
+def prefix_sql(ingest_where: str = "TRUE",
+               stopwords: tuple[str, ...] = LUCENE_STOPWORDS) -> str:
+    return _PREFIX_TMPL.format(
+        ingest_where=ingest_where,
+        tok_expr=tokenize_duckdb_sql("content || ' ' || path"),
+        stop_where=stopword_not_in_sql(stopwords) if stopwords else "term <> ''",
+    )
+
+
+PREFIX = prefix_sql()
+
+
 def _values(terms: list[str]) -> str:
     return ", ".join(f"('{t}')" for t in sorted(set(terms)))
 
 
-def _filters_where(filters: dict[str, list[str]] | None, alias: str = "docl") -> str:
+def _filters_where(filters, alias: str = "docl") -> str:
+    """SQL twin of operators.query._filters_expr (dict or predicate tree)."""
     if not filters:
         return "TRUE"
-    clauses = []
-    for key, vals in filters.items():
-        quoted = ", ".join(f"'{v}'" for v in vals)
-        clauses.append(f"{alias}.{key} IN ({quoted})")
-    return " AND ".join(clauses)
+    if isinstance(filters, dict):
+        clauses = []
+        for key, vals in filters.items():
+            quoted = ", ".join(f"'{v}'" for v in vals)
+            clauses.append(f"{alias}.{key} IN ({quoted})")
+        return " AND ".join(clauses)
+    op = filters[0]
+    if op in ("and", "or"):
+        joined = f" {op.upper()} ".join(_filters_where(s, alias) for s in filters[1:])
+        return f"({joined})"
+    if op == "in":
+        quoted = ", ".join(f"'{v}'" for v in filters[2])
+        return f"{alias}.{filters[1]} IN ({quoted})"
+    if op == "=":
+        return f"{alias}.{filters[1]} = '{filters[2]}'"
+    if op == "<=date":
+        return f"{alias}.{filters[1]} <= TIMESTAMP '{filters[2]}'"
+    if op == "startswith":
+        return f"{alias}.{filters[1]} LIKE '{filters[2]}%'"
+    raise ValueError(f"unknown filter op: {op!r}")
 
 
 def bm25_topk_sql(terms: list[str], k: int = 10, skip: int = 0,
-                  filters: dict[str, list[str]] | None = None) -> str:
+                  filters=None, ingest_where: str = "TRUE",
+                  stopwords: tuple[str, ...] = LUCENE_STOPWORDS) -> str:
     """Top-k page: (doc_id, repo, path, lang, score) — engine column order."""
-    return f"""{PREFIX},
+    return f"""{prefix_sql(ingest_where, stopwords)},
 q(term) AS (VALUES {_values(terms)}),
 sc AS (
   SELECT tf.repo, tf.path,

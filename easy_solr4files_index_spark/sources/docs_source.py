@@ -31,17 +31,55 @@ DOCS_SCHEMA = "repo string, path string, commit string, lang string, content str
 #   commit  = rpad(md5(source || ':' || doc_id), 40, '0')   (40-hex like git)
 #   lang    = lang
 #   content = coalesce(text, '')
+# plus deterministic access-control columns (pure functions of the raw
+# doc_id, so DuckDB oracles reproduce them) modeling the reference's
+# auth-info fields (AuthorisationItem.scala:37-39, RightsFor.scala):
+#   accessible_to  = doc_id % 10 -> 0:NONE 1:RESTRICTED_REQUEST
+#                    2,3:KNOWN else:ANONYMOUS
+#   date_available = TIMESTAMP '2020-01-01' + (doc_id % 3650) days
+#   depositor      = 'user' || (doc_id % 7)
+
+# the pinned "now" for `easy_dataset_date_available:[* TO NOW]` filters
+# (SearchServlet.scala:109) — fixed so results are deterministic
+ACCESS_NOW = "2026-08-17"
+
+
+def _acl_columns(doc_id_col: F.Column) -> dict[str, F.Column]:
+    m = doc_id_col % 10
+    return {
+        "accessible_to": (
+            F.when(m == 0, "NONE")
+            .when(m == 1, "RESTRICTED_REQUEST")
+            .when(m.isin(2, 3), "KNOWN")
+            .otherwise("ANONYMOUS")),
+        "date_available": F.expr(
+            "timestamp'2020-01-01' + make_interval(0, 0, 0, cast(doc_id % 3650 as int))"),
+        "depositor": F.concat(F.lit("user"), (doc_id_col % 7).cast("string")),
+    }
 
 
 def load_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    acl = _acl_columns(F.col("doc_id"))
     return d.select(
         F.col("source").alias("repo"),
         F.concat(F.lit("docs/"), F.lpad(F.col("doc_id").cast("string"), 8, "0"), F.lit(".txt")).alias("path"),
         F.rpad(F.md5(F.concat(F.col("source"), F.lit(":"), F.col("doc_id").cast("string"))), 40, "0").alias("commit"),
         F.col("lang"),
         F.coalesce(F.col("text"), F.lit("")).alias("content"),
+        acl["accessible_to"].alias("accessible_to"),
+        acl["date_available"].alias("date_available"),
+        acl["depositor"].alias("depositor"),
     )
+
+
+def ingest_acl_filter(docs: DataFrame) -> DataFrame:
+    """P6 ingest accessibility filter: files whose accessibleTo == NONE are
+    never indexed (EasySolr4filesIndexApp.scala:125-144, RightsFor.scala:19-20).
+    No-op when the source carries no accessible_to column."""
+    if "accessible_to" not in docs.columns:
+        return docs
+    return docs.filter(F.col("accessible_to") != "NONE")
 
 
 DOCS_FROM_DOCUMENTS_SQL = """
