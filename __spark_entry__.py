@@ -153,6 +153,52 @@ def _q_topk_physical(spark: SparkSession, sf_dir: str) -> DataFrame:
     return search_blockmax(_index_physical(spark, sf_dir), "spark join merge", k=10)
 
 
+def _index_maint(spark: SparkSession, sf_dir: str, mode: str):
+    """Physical index after an INCREMENTAL maintenance op (never a rebuild):
+    mode 'del' tombstones repo src0; mode 'ups' delete-before-inserts repo
+    src1 with modified content (operators/maintenance.py — the reference's
+    one-bag update cycle, EasySolr4filesIndexApp.scala:48-51)."""
+    import tempfile
+
+    from easy_solr4files_index_spark.operators.maintenance import (
+        delete_repo_physical, upsert_repos_physical)
+    from easy_solr4files_index_spark.operators.postings import write_index
+
+    key = (id(spark), sf_dir, f"maint_{mode}")
+    if key not in _INDEX_CACHE:
+        d = tempfile.mkdtemp(prefix=f"fts_entry_{mode}_")
+        write_index(spark, load_docs(spark, sf_dir), d, lineage_groups=1)
+        if mode == "del":
+            idx = delete_repo_physical(spark, d, "src0")
+        else:
+            mod = (load_docs(spark, sf_dir).filter(F.col("repo") == "src1")
+                   .withColumn("content",
+                               F.concat(F.col("content"), F.lit(" updatedmarker"))))
+            idx = upsert_repos_physical(spark, d, mod)
+        _INDEX_CACHE[key] = idx
+    return _INDEX_CACHE[key]
+
+
+def _q_delete_physical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full match listing after an incremental physical delete of src0 —
+    must equal a fresh build of the remaining corpus (scores incl. the
+    N/avgdl/df shifts the delete causes). No doc_id column: tombstoned
+    indexes keep id gaps; scores and keys are what must match."""
+    from easy_solr4files_index_spark.operators.wand import search_blockmax
+    idx = _index_maint(spark, sf_dir, "del")
+    return (search_blockmax(idx, "spark", k=100000)
+            .select("repo", "path", "lang", "score"))
+
+
+def _q_upsert_physical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full match listing after delete-before-insert of repo src1 with
+    appended content — must equal a fresh build of the modified corpus."""
+    from easy_solr4files_index_spark.operators.wand import search_blockmax
+    idx = _index_maint(spark, sf_dir, "ups")
+    return (search_blockmax(idx, "spark updatedmarker", k=100000)
+            .select("repo", "path", "lang", "score"))
+
+
 def _q_topk_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     return search(_index_arrow(spark, sf_dir), "table scan", k=10)
 
@@ -290,6 +336,17 @@ def _q_dedup_simhash(spark, sf_dir):
     return dedup.simhash32(_docs_raw(spark, sf_dir))
 
 
+def _q_dedup_apply(spark, sf_dir):
+    """Composed at-scale dedup: LSH candidates -> Jaccard verify on
+    candidates only -> components -> keep min doc_id per cluster."""
+    return dedup.dedup_apply(_docs_raw(spark, sf_dir), threshold=0.6)
+
+
+def _q_dedup_simhash_cand(spark, sf_dir):
+    """SimHash Hamming<=3 candidate pairs via pigeonhole chunk banding."""
+    return dedup.simhash_candidates(_docs_raw(spark, sf_dir), max_hamming=3)
+
+
 def _q_ts_token_count(spark, sf_dir):
     return textstats.token_counts(_docs_raw(spark, sf_dir))
 
@@ -314,6 +371,12 @@ def _q_ann_ivf(spark, sf_dir):
     return similarity.ivf_assign(_emb(spark, sf_dir), n_centroids=8)
 
 
+def _q_ann_ivf_topk(spark, sf_dir):
+    """IVF-pruned ANN query at nprobe=all (== exact brute force; the
+    recall/nprobe trade-off is swept in tests/test_similarity.py)."""
+    return similarity.ivf_topk(_emb(spark, sf_dir), [0, 1, 2], k=5, n_centroids=8)
+
+
 def _q_ann_signlsh(spark, sf_dir):
     return similarity.signlsh_buckets(_emb(spark, sf_dir), n_planes=4)
 
@@ -336,6 +399,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fts_delete_prefix": _q_delete_prefix,
         "fts_topk_physical": _q_topk_physical,
         "fts_topk_arrow_tok": _q_topk_arrow,
+        "fts_delete_physical": _q_delete_physical,
+        "fts_upsert_physical": _q_upsert_physical,
         "meta_group_count": _q_meta_group_count,
         "meta_vocab_join": _q_meta_vocab_join,
         "meta_date_normalize": _q_meta_date_normalize,
@@ -354,12 +419,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": _q_dedup_jaccard,
         "dedup_minhash_lsh": _q_dedup_minhash,
         "dedup_simhash": _q_dedup_simhash,
+        "dedup_apply": _q_dedup_apply,
+        "dedup_simhash_cand": _q_dedup_simhash_cand,
         "ts_token_count": _q_ts_token_count,
         "ts_quality": _q_ts_quality,
         "ts_langid": _q_ts_langid,
         "ts_fingerprint": _q_ts_fingerprint,
         "ann_cosine_topk": _q_ann_cosine,
         "ann_ivf_assign": _q_ann_ivf,
+        "ann_ivf_topk": _q_ann_ivf_topk,
         "ann_signlsh_buckets": _q_ann_signlsh,
         "mm_decode_stub": _q_mm_decode,
     })
@@ -381,6 +449,14 @@ def oracle_sql() -> dict[str, str]:
     out["fts_delete_prefix"] = osql.delete_prefix_sql("src0")
     out["fts_topk_physical"] = osql.bm25_topk_sql(tokenize_py("spark join merge"), k=10)
     out["fts_topk_arrow_tok"] = osql.bm25_topk_sql(tokenize_py("table scan"), k=10)
+    out["fts_delete_physical"] = osql.bm25_all_matches_sql(
+        tokenize_py("spark"), ingest_where="source <> 'src0'")
+    out["fts_upsert_physical"] = osql.bm25_all_matches_sql(
+        tokenize_py("spark updatedmarker"),
+        source_table="documents_mod",
+        pre_cte=("documents_mod AS (SELECT * REPLACE ("
+                 "CASE WHEN source = 'src1' THEN coalesce(text, '') || ' updatedmarker' "
+                 "ELSE text END AS text) FROM documents), "))
     out["meta_group_count"] = (
         "SELECT o_orderstatus, count(*) AS cnt FROM orders GROUP BY o_orderstatus")
     out["meta_vocab_join"] = (
@@ -420,12 +496,17 @@ def oracle_sql() -> dict[str, str]:
     out["dedup_ngram_jaccard"] = dedup.ngram_jaccard_pairs_sql(threshold=0.6)
     out["dedup_minhash_lsh"] = dedup.minhash_band_candidates_sql()
     out["dedup_simhash"] = dedup.simhash32_sql()
+    out["dedup_apply"] = dedup.dedup_apply_sql(threshold=0.6)
+    out["dedup_simhash_cand"] = dedup.simhash_candidates_sql(max_hamming=3)
     out["ts_token_count"] = textstats.token_counts_sql()
     out["ts_quality"] = textstats.quality_scores_sql()
     out["ts_langid"] = textstats.lang_id_sql()
     out["ts_fingerprint"] = textstats.fingerprints_sql()
     out["ann_cosine_topk"] = similarity.cosine_topk_sql([0, 1, 2], k=5)
     out["ann_ivf_assign"] = similarity.ivf_assign_sql(n_centroids=8)
+    # nprobe = n_centroids scans every cell => the brute-force oracle IS
+    # the expected result (prune-exactness gate)
+    out["ann_ivf_topk"] = similarity.cosine_topk_sql([0, 1, 2], k=5)
     out["ann_signlsh_buckets"] = similarity.signlsh_buckets_sql(n_planes=4)
     out["mm_decode_stub"] = multimodal.decode_features_sql()
     return out

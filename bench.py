@@ -36,7 +36,6 @@ from __future__ import annotations
 import json
 import os
 import shutil
-import statistics
 import subprocess
 import sys
 import tempfile
@@ -45,84 +44,10 @@ import time
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-QUERY_REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
 
-# the reference query set (mirrors __spark_entry__._SEARCHES: single /
-# multi / hot-term / filtered / paginated / match-all — SearchServlet
-# semantics, SURVEY.md §2.6/2.9)
-BENCH_QUERIES: dict[str, tuple[str | None, int, int, dict | None]] = {
-    "q1_single": ("dup", 10, 0, None),
-    "q2_multi": ("spark join merge", 10, 0, None),
-    "q3_hot": ("join", 15, 0, None),
-    "q4_filtered": ("table scan", 10, 0, {"lang": ["en"]}),
-    "q5_filters2": ("query window", 10, 0,
-                    {"lang": ["de", "fr"],
-                     "repo": ["src0", "src1", "src2", "src3", "src4", "src5"]}),
-    "q6_page": ("spark", 5, 3, None),
-    "q7_matchall": (None, 10, 5, {"lang": ["de"]}),
-}
-
-
-def _sf_of(sf_dir: str) -> float:
-    base = os.path.basename(sf_dir.rstrip("/"))
-    try:
-        return float(base.replace("sf", ""))
-    except ValueError:
-        return 0.1
-
-
-def run_suite(sf_dir: str, cpus: int) -> dict:
-    from easy_solr4files_index_spark.session import get_spark
-    from easy_solr4files_index_spark.sources.docs_source import load_docs
-    from easy_solr4files_index_spark.operators.postings import write_index, open_index
-    from easy_solr4files_index_spark.operators.wand import search_blockmax
-
-    spark = get_spark("bench", cpus=cpus, shuffle_partitions=cpus)
-    spark.sparkContext.setLogLevel("ERROR")
-
-    docs = load_docs(spark, sf_dir)
-    n_files = docs.count()  # warms the parquet read; excluded from build time
-
-    index_dir = tempfile.mkdtemp(prefix="fts_bench_idx_")
-    try:
-        t0 = time.perf_counter()
-        write_index(spark, docs, index_dir, lineage_groups=1)
-        build_s = time.perf_counter() - t0
-        files_per_sec = n_files / build_s if build_s > 0 else float("inf")
-
-        idx = open_index(spark, index_dir)
-        # warm-up: JVM/codegen/Arrow paths, not measured
-        search_blockmax(idx, "spark", k=5).collect()
-
-        per_query: dict[str, float] = {}
-        all_times: list[float] = []
-        for name, (text, k, skip, filters) in BENCH_QUERIES.items():
-            times = []
-            for _ in range(QUERY_REPS):
-                t0 = time.perf_counter()
-                search_blockmax(idx, text, k=k, skip=skip, filters=filters).collect()
-                times.append(time.perf_counter() - t0)
-            per_query[name] = round(statistics.median(times), 4)
-            all_times += times
-        all_times.sort()
-        p95 = all_times[min(len(all_times) - 1, int(0.95 * len(all_times)))]
-
-        return {
-            "metric": ("index-build throughput (files/sec) + query p95 latency, "
-                       "block-max WAND BM25 over term-partitioned varbyte postings"),
-            "value": round(build_s + sum(per_query.values()), 3),
-            "unit": "sec",
-            "queries": per_query,
-            "sf": _sf_of(sf_dir),
-            "n_files": n_files,
-            "build_sec": round(build_s, 3),
-            "files_per_sec": round(files_per_sec, 1),
-            "query_p95_sec": round(p95, 4),
-            "cpus": cpus,
-        }
-    finally:
-        shutil.rmtree(index_dir, ignore_errors=True)
-        spark.stop()
+# the default suite lives in the package so `fts bench` works from a
+# --py-files zip with no repo checkout (easy_solr4files_index_spark.benchmark)
+from easy_solr4files_index_spark.benchmark import run_suite, _sf_of  # noqa: E402
 
 
 SCALE_N_DOCS = int(os.environ.get("SPARK_GRAFT_SCALE_DOCS", "200000"))
@@ -295,8 +220,26 @@ def run_scaling(sf_dir: str, n_low: int | None = None, n_high: int | None = None
 def write_scaling_report(s: dict, path: str = "BENCH/BASELINE.md") -> None:
     os.makedirs(os.path.dirname(path), exist_ok=True)
     lo, hi = str(s["n_low"]), str(s["n_high"])
+    # everything from the first hand-written "## Addendum" heading on is
+    # narrative, not generated — preserve it across regenerations
+    tail = ""
+    if os.path.exists(path):
+        old = open(path).read()
+        i = old.find("## Addendum")
+        if i >= 0:
+            tail = "\n" + old[i:]
+    met = s["build_scaling_efficiency"] >= 0.8
+    verdict_line = (
+        "The >=0.8 criterion is MET in this run." if met else
+        f"The >=0.8 criterion is NOT met in this environment "
+        f"(measured {s['build_scaling_efficiency']}): the sandbox's "
+        "overcommitted vCPUs are the binding constraint (see the raw-CPU "
+        "ceiling below and the addendum); demonstrating it requires an "
+        "uncontended host or a real multi-executor cluster.")
     with open(path, "w") as fh:
         fh.write(f"""# BENCH baseline — measured (two-parallelism scaling evidence)
+
+{verdict_line}
 
 North-rule criterion: throughput scaling efficiency >= 0.8 between N and
 4N executors. No real cluster exists in this sandbox, so per the task
@@ -336,6 +279,8 @@ P integers to the driver.
 
 Raw per-level JSON: see `bench_scaling.json`.
 """)
+        if tail:
+            fh.write(tail)
     with open("bench_scaling.json", "w") as fh:
         json.dump(s, fh, indent=2, default=str)
 

@@ -9,6 +9,8 @@ servlets; our operational surface is the same verbs as Spark jobs:
         cli.py build  --input <docs parquet/iceberg> --index <dir>
     ...             query  --index <dir> --text "spark join" [--k 10]
     ...             delete --index <dir> --repo <repo> [--path-prefix p]
+    ...             upsert --index <dir> --input <docs>
+    ...             compact --index <dir>
     ...             bench  --input <docs> [--cpus N]
 
 On a real cluster, spark-submit provides the SparkSession (master,
@@ -87,31 +89,55 @@ def cmd_query(args: argparse.Namespace) -> int:
 
 
 def cmd_delete(args: argparse.Namespace) -> int:
-    """Delete-by-key over the LOGICAL index rebuilt from source + requery
-    (the physical on-disk delete is an overwrite-by-key rebuild of the
-    affected tbuckets — reference semantics: delete-before-insert,
-    EasySolr4filesIndexApp.scala:48-51)."""
-    from .operators.index_build import build_index
-    from .operators.update import delete_by_path_prefix, delete_by_repo
+    """DURABLE delete on the on-disk physical index (tombstone + df
+    deltas + globals update; O(repo), operators/maintenance.py) — the
+    reference's delete-by-query verb (EasySolr4filesIndexApp.scala:49,
+    CommandLineOptions.scala:39-45). A subsequent `fts query` no longer
+    returns the deleted docs."""
+    from .operators.maintenance import (delete_path_prefix_physical,
+                                        delete_repo_physical)
 
     spark = _spark("fts-delete", args.cpus)
+    if args.path_prefix:
+        idx = delete_path_prefix_physical(spark, args.index, args.repo,
+                                          args.path_prefix)
+    else:
+        idx = delete_repo_physical(spark, args.index, args.repo)
+    print(json.dumps({"index_dir": args.index, "n_docs_after": idx.n_docs,
+                      "avgdl_after": round(idx.avgdl, 6),
+                      "tombstone_ranges": len(idx.tombstones)}))
+    return 0
+
+
+def cmd_upsert(args: argparse.Namespace) -> int:
+    """Delete-before-insert of every repo present in --input (the
+    reference's one-bag update cycle, EasySolr4filesIndexApp.scala:48-51;
+    UpdateServlet.scala:59-63) — O(touched repos), not O(corpus)."""
+    from .operators.maintenance import upsert_repos_physical
+
+    spark = _spark("fts-upsert", args.cpus)
     docs = _load_docs_any(spark, args.input)
-    idx = build_index(spark, docs)
-    idx = (delete_by_path_prefix(idx, args.repo, args.path_prefix)
-           if args.path_prefix else delete_by_repo(idx, args.repo))
-    print(json.dumps({"n_docs_after": idx.n_docs, "avgdl_after": idx.avgdl}))
+    idx = upsert_repos_physical(spark, args.index, docs)
+    print(json.dumps({"index_dir": args.index, "n_docs_after": idx.n_docs,
+                      "avgdl_after": round(idx.avgdl, 6)}))
+    return 0
+
+
+def cmd_compact(args: argparse.Namespace) -> int:
+    """Fold tombstones/deltas into the base files (Solr optimize analog)."""
+    from .operators.maintenance import compact_index
+
+    spark = _spark("fts-compact", args.cpus)
+    idx = compact_index(spark, args.index)
+    print(json.dumps({"index_dir": args.index, "n_docs": idx.n_docs,
+                      "tombstone_ranges": len(idx.tombstones)}))
     return 0
 
 
 def cmd_bench(args: argparse.Namespace) -> int:
-    import importlib.util
-    import os
-    spec = importlib.util.spec_from_file_location(
-        "bench", os.path.join(os.path.dirname(os.path.dirname(
-            os.path.abspath(__file__))), "bench.py"))
-    bench = importlib.util.module_from_spec(spec)
-    spec.loader.exec_module(bench)
-    print(json.dumps(bench.run_suite(args.input, args.cpus or 32)))
+    # packaged module — works from a --py-files zip with no repo checkout
+    from .benchmark import run_suite
+    print(json.dumps(run_suite(args.input, args.cpus or 32)))
     return 0
 
 
@@ -135,11 +161,20 @@ def main(argv: list[str] | None = None) -> int:
     q.add_argument("--filters", default=None, help='JSON, e.g. {"lang": ["java"]}')
     q.set_defaults(fn=cmd_query)
 
-    d = sub.add_parser("delete", help="delete by repo / path prefix, report stats")
-    d.add_argument("--input", required=True)
+    d = sub.add_parser("delete", help="durable delete by repo / path prefix on a built index")
+    d.add_argument("--index", required=True)
     d.add_argument("--repo", required=True)
     d.add_argument("--path-prefix", default=None)
     d.set_defaults(fn=cmd_delete)
+
+    u = sub.add_parser("upsert", help="delete-before-insert the repos in --input")
+    u.add_argument("--index", required=True)
+    u.add_argument("--input", required=True)
+    u.set_defaults(fn=cmd_upsert)
+
+    c = sub.add_parser("compact", help="fold tombstones/deltas into the base index")
+    c.add_argument("--index", required=True)
+    c.set_defaults(fn=cmd_compact)
 
     be = sub.add_parser("bench", help="run the benchmark suite")
     be.add_argument("--input", default="/root/testdata/sf0.1")

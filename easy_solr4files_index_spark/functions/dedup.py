@@ -173,6 +173,121 @@ FROM bands x JOIN bands y
 """
 
 
+# ------------------------------------------------------------- dedup apply
+
+def dedup_apply(docs: DataFrame, threshold: float = 0.6,
+                text_col: str = "text", max_iters: int = 25) -> DataFrame:
+    """(doc_id, keep_doc_id) — the COMPOSED at-scale dedup operator:
+    MinHash-LSH band candidates → Jaccard verification on CANDIDATE PAIRS
+    ONLY → connected components (iterative min-label propagation) →
+    keep = min doc_id per near-dup cluster. keep_doc_id == doc_id means
+    the doc survives deduplication.
+
+    Scale shape: the expensive shingle-equality self-join runs only over
+    docs that appear in some LSH candidate pair (a left-semi cut), so
+    verification cost is O(candidate pairs), never O(all pairs) — the
+    standalone ngram_jaccard_pairs brute force is demoted to a verifier.
+    Label propagation converges in O(cluster diameter) rounds (near-dup
+    clusters are band-connected and shallow); each round is one join +
+    one hash aggregate, lineage truncated via localCheckpoint.
+    """
+    cand = minhash_band_candidates(docs, text_col).persist()
+    sh = _shingles(docs, text_col)
+    in_cand = (cand.select(F.col("a").alias("doc_id"))
+               .union(cand.select(F.col("b").alias("doc_id"))).distinct())
+    shc = sh.join(in_cand, "doc_id", "left_semi").persist()
+    sizes = shc.groupBy("doc_id").agg(F.count("*").alias("n"))
+    shx = shc.select(F.col("doc_id").alias("a"), "sh")
+    shy = shc.select(F.col("doc_id").alias("b"), "sh")
+    inter = (cand.join(shx, "a").join(shy, ["b", "sh"])
+             .groupBy("a", "b").agg(F.count("*").alias("inter")))
+    ver = (inter
+           .join(sizes.withColumnRenamed("doc_id", "a").withColumnRenamed("n", "na"), "a")
+           .join(sizes.withColumnRenamed("doc_id", "b").withColumnRenamed("n", "nb"), "b")
+           .filter(F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))
+                   >= threshold)
+           .select("a", "b"))
+
+    edges = (ver.union(ver.select(F.col("b").alias("a"), F.col("a").alias("b")))
+             .toDF("src", "dst").persist())
+    labels = (edges.select(F.col("src").alias("doc_id")).distinct()
+              .withColumn("label", F.col("doc_id")).localCheckpoint())
+    for _ in range(max_iters):
+        nbr = (edges.join(labels, edges["dst"] == labels["doc_id"])
+               .groupBy("src").agg(F.min("label").alias("nl")))
+        new_labels = (labels.join(nbr, labels["doc_id"] == nbr["src"], "left")
+                      .select(labels["doc_id"],
+                              F.least(labels["label"],
+                                      F.coalesce(nbr["nl"], labels["label"])).alias("label"))
+                      .localCheckpoint())
+        changed = (new_labels.alias("n").join(labels.alias("o"), "doc_id")
+                   .filter(F.col("n.label") < F.col("o.label")).count())
+        labels = new_labels
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(f"dedup_apply: no fixpoint after {max_iters} rounds")
+
+    out = (docs.select("doc_id")
+           .join(labels.withColumnRenamed("label", "keep_doc_id"), "doc_id", "left")
+           .select("doc_id", F.coalesce("keep_doc_id", "doc_id").alias("keep_doc_id")))
+    cand.unpersist()
+    shc.unpersist()
+    edges.unpersist()
+    return out
+
+
+def dedup_apply_sql(threshold: float = 0.6) -> str:
+    """DuckDB twin: same candidates/verify, transitive closure via a
+    recursive CTE, keep = min doc_id of the component (incl. self)."""
+    rows_per_band = N_PERMS // N_BANDS
+    md5i = MD5INT_DUCK.format(x="sh")
+    return f"""
+WITH RECURSIVE {_shingles_sql()},
+perms(perm, a, b) AS (VALUES {_perms_values_sql()}),
+mh AS (
+  SELECT s.doc_id, p.perm,
+         min((p.a * ({md5i} % {P31}) + p.b) % {P31}) AS mh
+  FROM sh s CROSS JOIN perms p
+  GROUP BY 1, 2
+),
+bands AS (
+  SELECT doc_id, CAST(perm // {rows_per_band} AS INT) AS band,
+         md5(string_agg(CAST(mh AS VARCHAR), ',' ORDER BY perm)) AS sig
+  FROM mh GROUP BY 1, 2
+),
+cand AS (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+  FROM bands x JOIN bands y
+    ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+inter AS (
+  SELECT c.a, c.b, count(*) AS inter
+  FROM cand c
+  JOIN sh x ON x.doc_id = c.a
+  JOIN sh y ON y.doc_id = c.b AND y.sh = x.sh
+  GROUP BY 1, 2
+),
+ver AS (
+  SELECT a, b FROM inter
+  JOIN sizes sa ON sa.doc_id = a
+  JOIN sizes sb ON sb.doc_id = b
+  WHERE inter * 1.0 / (sa.n + sb.n - inter) >= {threshold}
+),
+edges AS (SELECT a AS src, b AS dst FROM ver UNION SELECT b, a FROM ver),
+reach(src, dst) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+  WHERE e.dst <> r.src
+),
+lab AS (SELECT src AS doc_id, least(src, min(dst)) AS keep FROM reach GROUP BY src)
+SELECT d.doc_id, coalesce(lab.keep, d.doc_id) AS keep_doc_id
+FROM documents d LEFT JOIN lab USING (doc_id)
+"""
+
+
 # ----------------------------------------------------------------- simhash
 
 def simhash32(docs: DataFrame, text_col: str = "text") -> DataFrame:
@@ -199,6 +314,61 @@ def simhash32(docs: DataFrame, text_col: str = "text") -> DataFrame:
         sig_expr = bit if sig_expr is None else sig_expr + bit
     sig = sums.select("doc_id", sig_expr.alias("simhash"))
     return docs.select("doc_id").join(sig, "doc_id", "left").fillna({"simhash": 0})
+
+
+def simhash_candidates(docs: DataFrame, max_hamming: int = 3,
+                       text_col: str = "text") -> DataFrame:
+    """(a, b, hamming) — near-dup pairs with SimHash Hamming distance
+    ≤ max_hamming (≤ 7 supported). Pigeonhole banding: split the 32-bit
+    signature into (max_hamming + 1) chunks; any
+    pair within distance h must agree on ≥1 chunk, so the candidate join
+    is an equality join on (chunk_id, chunk_value) — a hash shuffle, never
+    an all-pairs product. Exact Hamming verified with bit_count(xor).
+    """
+    n_chunks = max_hamming + 1
+    assert n_chunks <= 8, "max_hamming must be <= 7 for a 32-bit signature"
+    width = 32 // n_chunks + (1 if 32 % n_chunks else 0)
+    sig = simhash32(docs, text_col)
+    chunks = sig.select(
+        "doc_id", "simhash",
+        F.explode(F.array(*[
+            F.struct(F.lit(i).alias("chunk"),
+                     F.expr(f"(simhash >> {i * width}) & {(1 << width) - 1}").alias("val"))
+            for i in range(n_chunks)])).alias("c")
+    ).select("doc_id", "simhash", F.col("c.chunk").alias("chunk"), F.col("c.val").alias("val"))
+    pairs = (chunks.alias("x").join(
+        chunks.alias("y"),
+        (F.col("x.chunk") == F.col("y.chunk")) & (F.col("x.val") == F.col("y.val")) &
+        (F.col("x.doc_id") < F.col("y.doc_id")))
+        .select(F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b"),
+                F.col("x.simhash").alias("sa"), F.col("y.simhash").alias("sb"))
+        .distinct()
+        .withColumn("hamming", F.expr("bit_count(sa ^ sb)"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("a", "b", "hamming"))
+    return pairs
+
+
+def simhash_candidates_sql(max_hamming: int = 3) -> str:
+    n_chunks = max_hamming + 1
+    width = 32 // n_chunks + (1 if 32 % n_chunks else 0)
+    mask = (1 << width) - 1
+    sig_sql = simhash32_sql().strip()
+    chunk_rows = ", ".join(f"({i})" for i in range(n_chunks))
+    return f"""
+WITH sigs AS ({sig_sql}),
+ck(chunk) AS (VALUES {chunk_rows}),
+chunks AS (
+  SELECT s.doc_id, s.simhash, ck.chunk,
+         (s.simhash >> (ck.chunk * {width})) & {mask} AS val
+  FROM sigs s CROSS JOIN ck
+)
+SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
+       bit_count(xor(x.simhash, y.simhash)) AS hamming
+FROM chunks x JOIN chunks y
+  ON x.chunk = y.chunk AND x.val = y.val AND x.doc_id < y.doc_id
+WHERE bit_count(xor(x.simhash, y.simhash)) <= {max_hamming}
+"""
 
 
 def simhash32_sql() -> str:

@@ -85,6 +85,55 @@ def ivf_assign(emb: DataFrame, n_centroids: int = 8,
     return assign.groupBy("centroid_id").agg(F.count("*").alias("cnt"))
 
 
+def ivf_topk(emb: DataFrame, query_ids: list[int], k: int = 5,
+             n_centroids: int = 8, nprobe: int | None = None,
+             vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
+    """(query_id, neighbor_id, cos, rank) — IVF-PRUNED cosine top-k, the
+    ANN *query* path the assignment primitives exist for.
+
+    Every corpus vector (centroids included) is assigned to its nearest
+    centroid cell; each query scans only its ``nprobe`` nearest cells.
+    The cell restriction is a broadcast equi-join on centroid_id — at
+    rest the corpus would be written partitioned by centroid_id, making
+    this a partition-pruned scan (cells touched = nprobe × queries,
+    independent of corpus size). ``nprobe = n_centroids`` scans every
+    cell and is EXACTLY brute force (the correctness gate); smaller
+    nprobe trades recall for a ~nprobe/n_centroids scan fraction
+    (recall sweep: tests/test_similarity.py).
+    """
+    nprobe = n_centroids if nprobe is None else nprobe
+    cent = (emb.filter(F.col(id_col) < n_centroids)
+            .select(F.col(id_col).alias("centroid_id"), _as_double(F.col(vec_col)).alias("cv")))
+    corpus = emb.select(F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("v"))
+    acos = _dot(F.col("cv"), F.col("v")) / (_norm(F.col("cv")) * _norm(F.col("v")))
+    wa = Window.partitionBy("neighbor_id").orderBy(F.col("acos").desc(),
+                                                   F.col("centroid_id").asc())
+    assign = (corpus.crossJoin(F.broadcast(cent))
+              .withColumn("acos", acos)
+              .withColumn("rn", F.row_number().over(wa)).filter("rn = 1")
+              .select("neighbor_id", "v", "centroid_id"))
+
+    q = (emb.filter(F.col(id_col).isin(query_ids))
+         .select(F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")))
+    qcos = _dot(F.col("cv"), F.col("qv")) / (_norm(F.col("cv")) * _norm(F.col("qv")))
+    wq = Window.partitionBy("query_id").orderBy(F.col("qcos").desc(),
+                                                F.col("centroid_id").asc())
+    probes = (q.crossJoin(F.broadcast(cent))
+              .withColumn("qcos", qcos)
+              .withColumn("rn", F.row_number().over(wq)).filter(F.col("rn") <= nprobe)
+              .select("query_id", "qv", "centroid_id"))
+
+    # the pruned scan: only cells in some query's probe set are read
+    cand = assign.join(F.broadcast(probes), "centroid_id")
+    pairs = (cand.filter(F.col("neighbor_id") != F.col("query_id"))
+             .withColumn("cos", F.round(
+                 _dot(F.col("qv"), F.col("v")) / (_norm(F.col("qv")) * _norm(F.col("v"))), 6)))
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id").asc())
+    return (pairs.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "cos", "rank"))
+
+
 def ivf_assign_sql(n_centroids: int = 8) -> str:
     return f"""
 WITH flat AS (

@@ -80,20 +80,17 @@ def _write_globals(index_dir: str, meta: dict) -> None:
 
 
 def _append_tombstones(index_dir: str, ranges: list[tuple[int, int]], repo: str) -> None:
-    import uuid
-
     import pyarrow as pa
-    import pyarrow.parquet as pq
 
-    path = os.path.join(index_dir, "_tombstones")
-    os.makedirs(path, exist_ok=True)
+    from .postings import pa_append_table
+
     table = pa.table({
         "lo": pa.array([int(lo) for lo, _ in ranges], pa.int64()),
         "hi": pa.array([int(hi) for _, hi in ranges], pa.int64()),
         "repo": pa.array([repo] * len(ranges), pa.string()),
         "deleted_at": pa.array([time.time()] * len(ranges), pa.float64()),
     })
-    pq.write_table(table, os.path.join(path, f"part-{uuid.uuid4().hex}.parquet"))
+    pa_append_table(table, os.path.join(index_dir, "_tombstones"))
 
 
 def _segments(meta: dict) -> list[list[int]]:
@@ -101,13 +98,18 @@ def _segments(meta: dict) -> list[list[int]]:
     return meta.get("segments") or [[0, int(meta["next_base"])]]
 
 
-def _repo_ranges(idx: PhysicalIndex, meta: dict, repo: str) -> list[dict]:
-    """(lo, hi, n, dl_sum) of the repo's live docs per segment. One pruned
-    docs_store scan; a broadcast join tags each doc with its segment."""
+def _pred_ranges(idx: PhysicalIndex, meta: dict, pred: F.Column,
+                 label: str) -> list[dict]:
+    """(lo, hi, n, dl_sum) of the predicate's live docs per segment. One
+    pruned docs_store scan; a broadcast join tags each doc with its
+    segment. The predicate must select a doc_id-CONTIGUOUS run within
+    each segment — true for whole-repo and repo+path-prefix predicates
+    because doc_ids are ranks of (repo, path, commit) — and that
+    invariant is asserted, not assumed."""
     segs = _segments(meta)
     seg_df = idx.spark.createDataFrame(
         [(i, s[0], s[1]) for i, s in enumerate(segs)], "seg int, s0 long, s1 long")
-    rows = (idx.docs_store.filter(F.col("repo") == repo)
+    rows = (idx.docs_store.filter(pred)
             .join(F.broadcast(seg_df),
                   (F.col("doc_id") >= F.col("s0")) & (F.col("doc_id") < F.col("s1")))
             .groupBy("seg")
@@ -116,10 +118,8 @@ def _repo_ranges(idx: PhysicalIndex, meta: dict, repo: str) -> list[dict]:
             .collect())
     out = []
     for r in rows:
-        # within a segment doc_ids are ranks of (repo, path, commit) —
-        # repo-contiguity is a build invariant worth asserting
         assert r["n"] == r["hi"] - r["lo"] + 1, \
-            f"repo {repo} not contiguous in segment {r['seg']}"
+            f"{label!r} not doc_id-contiguous in segment {r['seg']}"
         out.append({"lo": r["lo"], "hi": r["hi"], "n": r["n"], "dls": r["dls"]})
     return out
 
@@ -152,10 +152,24 @@ def delete_repo_physical(spark: SparkSession, index_dir: str, repo: str) -> Phys
     """`deleteDocuments("id:<bagId>*")` analog over the physical index
     (EasySolr4filesIndexApp.scala:49). Touches only the repo's doc-range
     buckets; returns the reopened index."""
+    return delete_where_physical(spark, index_dir, F.col("repo") == repo, repo)
+
+
+def delete_path_prefix_physical(spark: SparkSession, index_dir: str,
+                                repo: str, prefix: str) -> PhysicalIndex:
+    """Folder-delete analog (`id:<uuid>/Documents/*`, reference
+    docs/index.md:19): path-prefix runs are doc_id-contiguous within a
+    repo because doc_ids rank by (repo, path, commit)."""
+    pred = (F.col("repo") == repo) & F.col("path").startswith(prefix)
+    return delete_where_physical(spark, index_dir, pred, f"{repo}/{prefix}*")
+
+
+def delete_where_physical(spark: SparkSession, index_dir: str,
+                          pred: F.Column, label: str) -> PhysicalIndex:
     t0 = time.time()
     idx = open_index(spark, index_dir)
     meta = _read_globals(index_dir)
-    ranges = _repo_ranges(idx, meta, repo)
+    ranges = _pred_ranges(idx, meta, pred, label)
     if not ranges:
         return idx
     span = idx.config.bucket_span
@@ -175,14 +189,14 @@ def delete_repo_physical(spark: SparkSession, index_dir: str, repo: str) -> Phys
      .write.mode("append").partitionBy("tbucket")
      .parquet(os.path.join(index_dir, "_termstats_delta")))
 
-    _append_tombstones(index_dir, [(r["lo"], r["hi"]) for r in ranges], repo)
+    _append_tombstones(index_dir, [(r["lo"], r["hi"]) for r in ranges], label)
     meta["n_docs"] = int(meta["n_docs"]) - n_del
     meta["dl_sum"] = int(meta.get("dl_sum", 0)) - int(dl_del)
     meta["avgdl"] = (meta["dl_sum"] / meta["n_docs"]) if meta["n_docs"] else 0.0
     meta.setdefault("min_encode_avgdl", meta["avgdl"] or 0.0)
     meta.setdefault("segments", _segments(meta))
     _write_globals(index_dir, meta)
-    _append_lineage(spark, index_dir, f"delete:{repo}", 0,
+    _append_lineage(spark, index_dir, f"delete:{label}", 0,
                     meta.get("fingerprint", ""), "done", t0)
     return open_index(spark, index_dir)
 

@@ -114,19 +114,36 @@ def _lineage_path(index_dir: str) -> str:
     return os.path.join(index_dir, "_lineage")
 
 
+def pa_append_table(table, dir_path: str) -> None:
+    """Append one small parquet file to a dataset directory, driver-side.
+    Paths with a URI scheme (hdfs://, s3://...) go through
+    pyarrow.fs.FileSystem.from_uri so maintenance sidecars work on shared
+    filesystems, not just posix (globals.json still requires a
+    posix-visible index_dir — documented in the module header)."""
+    import uuid
+
+    import pyarrow.parquet as pq
+
+    fname = f"part-{uuid.uuid4().hex}.parquet"
+    if "://" in dir_path:
+        import pyarrow.fs as pafs
+
+        fs, p = pafs.FileSystem.from_uri(dir_path)
+        fs.create_dir(p, recursive=True)
+        pq.write_table(table, f"{p}/{fname}", filesystem=fs)
+    else:
+        os.makedirs(dir_path, exist_ok=True)
+        pq.write_table(table, os.path.join(dir_path, fname))
+
+
 def _append_lineage(spark: SparkSession, index_dir: str, stage: str, partition_id: int,
                     fingerprint: str, status: str, started_at: float) -> None:
     """One-row append, written directly with pyarrow: a Spark job per
     lineage row (createDataFrame + coalesce(1) + write) costs a full
     scheduler round-trip of pure serial time per stage; the directory
     stays an ordinary parquet dataset Spark reads back for resume."""
-    import uuid
-
     import pyarrow as pa
-    import pyarrow.parquet as pq
 
-    path = _lineage_path(index_dir)
-    os.makedirs(path, exist_ok=True)
     table = pa.table({
         "stage": pa.array([stage], pa.string()),
         "partition_id": pa.array([partition_id], pa.int32()),
@@ -135,7 +152,7 @@ def _append_lineage(spark: SparkSession, index_dir: str, stage: str, partition_i
         "started_at": pa.array([float(started_at)], pa.float64()),
         "finished_at": pa.array([time.time()], pa.float64()),
     })
-    pq.write_table(table, os.path.join(path, f"part-{uuid.uuid4().hex}.parquet"))
+    pa_append_table(table, _lineage_path(index_dir))
 
 
 def _done_set(spark: SparkSession, index_dir: str, fingerprint: str) -> set[tuple[str, int]]:

@@ -28,7 +28,6 @@ and the numpy oracle (WAND top-k == naive top-k, SURVEY.md §5.2.4).
 
 from __future__ import annotations
 
-import math
 from typing import Iterator
 
 import numpy as np
@@ -42,30 +41,40 @@ from .postings import PhysicalIndex
 from .query import _filters_expr
 
 
-def _idf(n_docs: int, df: int) -> float:
-    return math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
-
-
 def _score_blocks(blocks: DataFrame, k1: float, b: float, avgdl: float,
-                  single_term: bool = False) -> DataFrame:
+                  single_term: bool = False,
+                  tombstones: tuple[tuple[int, int], ...] = ()) -> DataFrame:
     """Decode blocks (term, n, doc_ids, tfs, dls, idf) -> (doc_id, score).
 
     ``single_term=True`` skips the per-doc sum: with one query term a doc
     appears in exactly one block, so the groupBy (a full shuffle of every
     decoded posting) would be the identity — the hot-term fast path.
+
+    ``tombstones`` are deleted doc_id ranges (operators/maintenance.py);
+    decoded postings falling inside are masked out here, so deleted docs
+    can never score.
     """
     avgdl = avgdl if avgdl > 0 else 1.0
+    ranges = [(int(lo), int(hi)) for lo, hi in tombstones]
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             outs_ids, outs_contrib = [], []
             for row in pdf.itertuples(index=False):
                 n = row.n
-                ids = np.cumsum(varbyte_decode(row.doc_ids, n), dtype=np.uint64)
+                ids = np.cumsum(varbyte_decode(row.doc_ids, n), dtype=np.uint64).astype(np.int64)
                 tfs = varbyte_decode(row.tfs, n).astype(np.float64)
                 dls = varbyte_decode(row.dls, n).astype(np.float64)
+                if ranges:
+                    keep = np.ones(ids.shape, dtype=bool)
+                    for lo, hi in ranges:
+                        keep &= ~((ids >= lo) & (ids <= hi))
+                    if not keep.all():
+                        ids, tfs, dls = ids[keep], tfs[keep], dls[keep]
+                    if ids.size == 0:
+                        continue
                 contrib = row.idf * tfs * (k1 + 1.0) / (tfs + k1 * (1.0 - b + b * dls / avgdl))
-                outs_ids.append(ids.astype(np.int64))
+                outs_ids.append(ids)
                 outs_contrib.append(contrib)
             if outs_ids:
                 yield pd.DataFrame({"doc_id": np.concatenate(outs_ids),
@@ -101,19 +110,19 @@ def search_blockmax(index: PhysicalIndex, text: str | None = None, k: int = 10,
     # tbucket = pmod(xxhash64(term), T) computed driver-side (pure-Python
     # XXH64, parity-tested vs the Spark expression) — zero Spark jobs for
     # query planning; the values prune the termstats/postings scans below.
+    # idf stays IN-PLAN: the pruned termstats scan (a handful of rows,
+    # merged with any incremental df deltas) broadcasts onto the blocks —
+    # one fewer driver round-trip than collecting df first.
     tbuckets = sorted({term_bucket(t, cfg.term_buckets) for t in terms})
-    stats = {r["term"]: r["df"] for r in
-             index.termstats.filter(F.col("tbucket").isin(tbuckets) &
-                                    F.col("term").isin(terms)).collect()}
-    if not stats:
-        return (index.docs_store.withColumn("score", F.lit(0.0))
-                .select("doc_id", "repo", "path", "lang", "score").limit(0))
-    idf_df = index.spark.createDataFrame(
-        [(t, _idf(index.n_docs, dfc)) for t, dfc in stats.items()], "term string, idf double")
+    n = float(index.n_docs)
+    ts = (index.termstats
+          .filter(F.col("tbucket").isin(tbuckets) & F.col("term").isin(terms))
+          .withColumn("idf", F.log(1.0 + (F.lit(n) - F.col("df") + 0.5)
+                                   / (F.col("df") + 0.5))))
 
     blocks = (index.postings
-              .filter(F.col("tbucket").isin(tbuckets) & F.col("term").isin(list(stats)))
-              .join(F.broadcast(idf_df), "term"))
+              .filter(F.col("tbucket").isin(tbuckets) & F.col("term").isin(terms))
+              .join(F.broadcast(ts.select("term", "idf")), "term"))
 
     def topk(scored: DataFrame) -> DataFrame:
         # cut FIRST on the narrow (doc_id, score) stream (TakeOrdered —
@@ -130,26 +139,42 @@ def search_blockmax(index: PhysicalIndex, text: str | None = None, k: int = 10,
                 .orderBy(F.col("score").desc(), F.col("doc_id").asc())
                 .select("doc_id", "repo", "path", "lang", "score"))
 
-    single = len(stats) == 1
+    # with one query term a doc appears in exactly one block — safe to
+    # skip the per-doc sum even if the term turns out to have no postings
+    single = len(terms) == 1
+    tombs = index.tombstones
 
     if not prune:
-        return topk(_score_blocks(blocks, cfg.k1, cfg.b, index.avgdl, single_term=single))
+        return topk(_score_blocks(blocks, cfg.k1, cfg.b, index.avgdl,
+                                  single_term=single, tombstones=tombs))
 
     # bucket-level block-max pruning. One job decides coverage AND picks
     # the hot set: TakeOrdered of P+1 bucket bounds — if it returns ≤ P
     # rows, the hot set IS every bucket and phase A is exhaustive+final.
+    # ub_scale: stored max_tfnorm was encoded with min_encode_avgdl; if
+    # incremental maintenance raised avgdl since, true tfnorm can exceed
+    # the stored bound by at most avgdl_now/min_encode_avgdl (maintenance.py)
+    ub_scale = 1.0
+    if index.min_encode_avgdl and index.min_encode_avgdl > 0 and index.avgdl > 0:
+        ub_scale = max(1.0, index.avgdl / index.min_encode_avgdl)
     ub = blocks.groupBy("bucket").agg(
-        F.sum(F.col("idf") * F.col("max_tfnorm")).alias("ub"))
+        (F.sum(F.col("idf") * F.col("max_tfnorm")) * F.lit(ub_scale)).alias("ub"))
     p = max(4 * (k + skip), 32)
     ub_rows = ub.orderBy(F.col("ub").desc()).limit(p + 1).collect()
+    if len(ub_rows) == 0:
+        # no query term exists in the index
+        return (index.docs_store.withColumn("score", F.lit(0.0))
+                .select("doc_id", "repo", "path", "lang", "score").limit(0))
     if len(ub_rows) <= p:
-        return topk(_score_blocks(blocks, cfg.k1, cfg.b, index.avgdl, single_term=single))
+        return topk(_score_blocks(blocks, cfg.k1, cfg.b, index.avgdl,
+                                  single_term=single, tombstones=tombs))
     hot = [r["bucket"] for r in ub_rows[:p]]
 
     blocks = blocks.persist()
     try:
         phase_a = _score_blocks(blocks.filter(F.col("bucket").isin(hot)),
-                                cfg.k1, cfg.b, index.avgdl, single_term=single)
+                                cfg.k1, cfg.b, index.avgdl, single_term=single,
+                                tombstones=tombs)
         # tau from the narrow (doc_id, score) stream — stored fields are
         # irrelevant to the threshold; fq filters enter via id-semijoin only
         a_stream = (phase_a.join(store.select("doc_id"), "doc_id", "left_semi")
@@ -164,7 +189,8 @@ def search_blockmax(index: PhysicalIndex, text: str | None = None, k: int = 10,
         # whose doc_id is lower than the (k+skip)-th would win the tie-break
         rest_df = ub.filter(~F.col("bucket").isin(hot) & (F.col("ub") >= tau)).select("bucket")
         phase_b = _score_blocks(blocks.join(rest_df, "bucket"),
-                                cfg.k1, cfg.b, index.avgdl, single_term=single)
+                                cfg.k1, cfg.b, index.avgdl, single_term=single,
+                                tombstones=tombs)
         return topk(phase_a.unionByName(phase_b))
     finally:
         blocks.unpersist()

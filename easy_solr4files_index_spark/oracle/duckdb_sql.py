@@ -23,7 +23,7 @@ K1, B = 1.2, 0.75
 # doc_ids are ranks over the FILTERED corpus, exactly like an index
 # built from ingest_acl_filter(load_docs(...)).
 _PREFIX_TMPL = """
-WITH docs AS (
+WITH {pre_cte}docs AS (
   SELECT source AS repo,
          'docs/' || lpad(CAST(doc_id AS VARCHAR), 8, '0') || '.txt' AS path,
          lang,
@@ -34,7 +34,7 @@ WITH docs AS (
               ELSE 'ANONYMOUS' END AS accessible_to,
          TIMESTAMP '2020-01-01' + INTERVAL (doc_id % 3650) DAY AS date_available,
          'user' || CAST(doc_id % 7 AS VARCHAR) AS depositor
-  FROM documents
+  FROM {source_table}
   WHERE {ingest_where}
 ),
 ids AS (
@@ -63,11 +63,17 @@ dft AS (SELECT term, count(*) AS df FROM tf GROUP BY 1)
 
 
 def prefix_sql(ingest_where: str = "TRUE",
-               stopwords: tuple[str, ...] = LUCENE_STOPWORDS) -> str:
+               stopwords: tuple[str, ...] = LUCENE_STOPWORDS,
+               source_table: str = "documents", pre_cte: str = "") -> str:
+    """``pre_cte`` (e.g. "documents_mod AS (...), ") + ``source_table``
+    let a maintenance oracle recompute over a MODIFIED corpus — the
+    fresh-build twin of an incremental physical update."""
     return _PREFIX_TMPL.format(
         ingest_where=ingest_where,
         tok_expr=tokenize_duckdb_sql("content || ' ' || path"),
         stop_where=stopword_not_in_sql(stopwords) if stopwords else "term <> ''",
+        source_table=source_table,
+        pre_cte=pre_cte,
     )
 
 
@@ -127,6 +133,34 @@ FROM sc JOIN docl USING (repo, path)
 WHERE {_filters_where(filters)}
 ORDER BY sc.score DESC, sc.repo, sc.path
 LIMIT {k} OFFSET {skip}
+"""
+
+
+def bm25_all_matches_sql(terms: list[str], ingest_where: str = "TRUE",
+                         source_table: str = "documents",
+                         pre_cte: str = "") -> str:
+    """FULL match listing (repo, path, lang, score), no top-k cut and no
+    doc_id column: the incremental-maintenance gate — an upserted physical
+    index keeps old doc_id values (segments/gaps) while a fresh build
+    ranks densely, but scores and the (repo, path) keyset must be
+    IDENTICAL (operators/maintenance.py)."""
+    return f"""{prefix_sql(ingest_where, LUCENE_STOPWORDS, source_table, pre_cte)},
+q(term) AS (VALUES {_values(terms)}),
+sc AS (
+  SELECT tf.repo, tf.path,
+         sum( ln(1 + (g.n - dft.df + 0.5) / (dft.df + 0.5))
+              * tf.tf * ({K1} + 1.0)
+              / (tf.tf + {K1} * (1.0 - {B} + {B} * docl.dl / g.avgdl)) ) AS score
+  FROM tf
+  JOIN dft USING (term)
+  JOIN q USING (term)
+  JOIN docl USING (repo, path)
+  CROSS JOIN g
+  GROUP BY 1, 2
+)
+SELECT sc.repo, sc.path, docl.lang, round(sc.score, 4) AS score
+FROM sc JOIN docl USING (repo, path)
+ORDER BY sc.repo, sc.path
 """
 
 

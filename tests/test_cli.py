@@ -46,8 +46,27 @@ def test_cli_build_resume_skips_done(index_dir, capsys, spark):
     assert "docs_store" in out["stages_skipped"]
 
 
-def test_cli_delete(capsys, spark):
-    rc = cli.main(["delete", "--input", "/root/testdata/sf0.001", "--repo", "src0"])
-    assert rc == 0
-    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
-    assert out["n_docs_after"] > 0
+def test_cli_delete_is_durable(capsys, spark):
+    """`fts delete` must change what `fts query` returns afterwards —
+    the on-disk index is updated, not a dry-run preview."""
+    with tempfile.TemporaryDirectory(prefix="cli_del_") as d:
+        assert cli.main(["build", "--input", "/root/testdata/sf0.001",
+                         "--index", d, "--lineage-groups", "1"]) == 0
+        capsys.readouterr()
+        assert cli.main(["query", "--index", d, "--filters",
+                         '{"repo": ["src0"]}', "--k", "100"]) == 0
+        before = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert before["summary"]["returned"] > 0
+
+        assert cli.main(["delete", "--index", d, "--repo", "src0"]) == 0
+        out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert out["n_docs_after"] > 0 and out["tombstone_ranges"] >= 1
+
+        assert cli.main(["query", "--index", d, "--filters",
+                         '{"repo": ["src0"]}', "--k", "100"]) == 0
+        after = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert after["summary"]["returned"] == 0
+
+        assert cli.main(["compact", "--index", d]) == 0
+        cout = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert cout["tombstone_ranges"] == 0
