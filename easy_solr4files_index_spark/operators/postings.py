@@ -351,6 +351,19 @@ class PhysicalIndex:
     # deletes/appends shift avgdl away from what blocks were encoded with
     min_encode_avgdl: float = 0.0
     tombstones: tuple[tuple[int, int], ...] = ()
+    n_buckets: int = 0  # upper bound on distinct doc-range bucket ids
+
+    def __post_init__(self) -> None:
+        # memoized logical plans: spark.read.parquet re-lists files and
+        # re-reads footers on every call — a fixed per-query driver cost
+        # worth paying once per open, not once per property access
+        self._cache: dict[str, DataFrame] = {}
+
+    def _read(self, name: str) -> DataFrame:
+        if name not in self._cache:
+            self._cache[name] = self.spark.read.parquet(
+                os.path.join(self.index_dir, name))
+        return self._cache[name]
 
     def _not_tombstoned(self) -> F.Column:
         cond = F.lit(True)
@@ -360,37 +373,36 @@ class PhysicalIndex:
 
     @property
     def docs_store(self) -> DataFrame:
-        df = self.spark.read.parquet(os.path.join(self.index_dir, "docs_store"))
+        df = self._read("docs_store")
         if self.tombstones:
             df = df.filter(self._not_tombstoned())
         return df
 
     @property
     def postings(self) -> DataFrame:
-        return self.spark.read.parquet(os.path.join(self.index_dir, "postings"))
+        return self._read("postings")
 
     @property
     def termstats(self) -> DataFrame:
         """Base df counts merged with incremental deltas (delete: negative,
         append: positive). The union+agg keeps term/tbucket filters
         pushable below both scans (they are grouping keys)."""
-        base = (self.spark.read.parquet(os.path.join(self.index_dir, "termstats"))
-                .select("term", "tbucket", "df"))
+        base = self._read("termstats").select("term", "tbucket", "df")
         delta_path = os.path.join(self.index_dir, "_termstats_delta")
         if not os.path.exists(delta_path):
             return base
-        delta = self.spark.read.parquet(delta_path).select("term", "tbucket", "df")
+        delta = self._read("_termstats_delta").select("term", "tbucket", "df")
         return (base.unionByName(delta)
                 .groupBy("term", "tbucket").agg(F.sum("df").alias("df"))
                 .filter(F.col("df") > 0))
 
     @property
     def metrics(self) -> DataFrame:
-        return self.spark.read.parquet(os.path.join(self.index_dir, "_metrics"))
+        return self._read("_metrics")
 
     @property
     def lineage(self) -> DataFrame:
-        return self.spark.read.parquet(os.path.join(self.index_dir, "_lineage"))
+        return self._read("_lineage")
 
 
 def open_index(spark: SparkSession, index_dir: str) -> PhysicalIndex:
@@ -406,6 +418,11 @@ def open_index(spark: SparkSession, index_dir: str) -> PhysicalIndex:
     if os.path.exists(tomb_path):
         rows = spark.read.parquet(tomb_path).collect()
         tombstones = tuple(sorted((r["lo"], r["hi"]) for r in rows))
+    next_base = meta.get(
+        "next_base",
+        ((meta["n_docs"] + meta["bucket_span"] - 1) // meta["bucket_span"])
+        * meta["bucket_span"])
     return PhysicalIndex(spark, index_dir, config, meta["n_docs"], meta["avgdl"],
                          min_encode_avgdl=meta.get("min_encode_avgdl", meta["avgdl"]),
-                         tombstones=tombstones)
+                         tombstones=tombstones,
+                         n_buckets=next_base // meta["bucket_span"])

@@ -144,7 +144,11 @@ def search_blockmax(index: PhysicalIndex, text: str | None = None, k: int = 10,
     single = len(terms) == 1
     tombs = index.tombstones
 
-    if not prune:
+    p = max(4 * (k + skip), 32)
+    if not prune or (index.n_buckets and index.n_buckets <= p):
+        # pruning needs MORE buckets than the hot-set size P to ever drop
+        # one — below that the UB job is a pure extra round-trip (small
+        # corpora / small indexes), so go straight to exhaustive scoring
         return topk(_score_blocks(blocks, cfg.k1, cfg.b, index.avgdl,
                                   single_term=single, tombstones=tombs))
 
@@ -159,7 +163,6 @@ def search_blockmax(index: PhysicalIndex, text: str | None = None, k: int = 10,
         ub_scale = max(1.0, index.avgdl / index.min_encode_avgdl)
     ub = blocks.groupBy("bucket").agg(
         (F.sum(F.col("idf") * F.col("max_tfnorm")) * F.lit(ub_scale)).alias("ub"))
-    p = max(4 * (k + skip), 32)
     ub_rows = ub.orderBy(F.col("ub").desc()).limit(p + 1).collect()
     if len(ub_rows) == 0:
         # no query term exists in the index

@@ -61,6 +61,61 @@ def test_prune_equals_exhaustive(built, text, k):
     assert [(r["doc_id"], r["score"]) for r in a] == [(r["doc_id"], r["score"]) for r in b]
 
 
+@pytest.fixture(scope="module")
+def built_many_buckets(spark, tmp_path_factory):
+    """bucket_span=8 over 600 docs -> 75 buckets: with k<=5 the hot set
+    P=32 < 75, so phase-B pruning GENUINELY engages (the n_buckets<=P
+    fast path must not swallow these cases)."""
+    cfg = IndexConfig(bucket_span=8, term_buckets=8)
+    docs = synth_code_docs(spark, n_docs=600, seed=41)
+    index_dir = str(tmp_path_factory.mktemp("ftsmb") / "index")
+    write_index(spark, docs, index_dir, cfg, lineage_groups=1)
+    pidx = open_index(spark, index_dir)
+    assert pidx.n_buckets > 32  # guard: pruning must be reachable
+    oracle = build_oracle([r.asDict() for r in docs.collect()])
+    return pidx, oracle
+
+
+@pytest.mark.parametrize("text,k,skip", [
+    ("parse", 5, 0), ("license", 5, 0), ("parse merge token", 3, 0),
+    ("buildIndex cache", 5, 2), ("license merge", 4, 0),
+])
+def test_real_pruning_rank_identical(built_many_buckets, text, k, skip):
+    pidx, oracle = built_many_buckets
+    a = search_blockmax(pidx, text, k=k, skip=skip, prune=True,
+                        round_score=None).collect()
+    b = search_blockmax(pidx, text, k=k, skip=skip, prune=False,
+                        round_score=None).collect()
+    assert [(r["doc_id"], r["score"]) for r in a] == \
+        [(r["doc_id"], r["score"]) for r in b], text
+    exp = oracle_search(oracle, text, k=k, skip=skip)
+    assert [r["doc_id"] for r in a] == [e["doc_id"] for e in exp], text
+
+
+def test_prune_tie_at_tau_keeps_lower_docid(spark, tmp_path):
+    """Regression for the ub >= tau fix: docs with IDENTICAL (tf, dl)
+    tie exactly on score; a tied doc in a pruned bucket whose doc_id is
+    lower than the k-th hot-phase doc must still win the tie-break."""
+    from easy_solr4files_index_spark.sources.docs_source import DOCS_SCHEMA
+    rows = []
+    for i in range(200):
+        # every 3rd doc is byte-identical content => exact score ties
+        body = "alpha beta gamma" if i % 3 == 0 else f"filler{i} unique{i} text{i}"
+        rows.append(("r0", f"p{i:04d}", f"c{i:04d}", "java", body))
+    docs = spark.createDataFrame(rows, DOCS_SCHEMA)
+    cfg = IndexConfig(bucket_span=4, term_buckets=4, include_path_tokens=False)
+    d = str(tmp_path / "ties")
+    write_index(spark, docs, d, cfg, lineage_groups=1)
+    pidx = open_index(spark, d)
+    assert pidx.n_buckets > 32
+    a = search_blockmax(pidx, "alpha", k=4, prune=True, round_score=None).collect()
+    b = search_blockmax(pidx, "alpha", k=4, prune=False, round_score=None).collect()
+    assert [(r["doc_id"], r["score"]) for r in a] == \
+        [(r["doc_id"], r["score"]) for r in b]
+    # tie-break is doc_id asc among equal scores
+    assert [r["doc_id"] for r in a] == sorted(r["doc_id"] for r in a)
+
+
 def test_postings_invariants(built):
     """docID-sortedness inside blocks; df == Σ block n per term;
     sha256 invariant vs source (input_hint)."""
