@@ -1,0 +1,96 @@
+"""Regenerate PLANS.md: formatted physical plans proving pushdown /
+pruning / broadcast shapes for the headline operators.
+
+    python tools/capture_plans.py
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import os
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def fmt(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def main() -> None:
+    from pyspark.sql import functions as F
+
+    from easy_solr4files_index_spark.operators.postings import open_index, write_index
+    from easy_solr4files_index_spark.operators.wand import search_blockmax
+    from easy_solr4files_index_spark.functions.similarity import ivf_topk
+    from easy_solr4files_index_spark.session import get_spark
+    from easy_solr4files_index_spark.sources.docs_source import load_docs
+
+    spark = get_spark("plans", cpus=8, shuffle_partitions=8)
+    spark.sparkContext.setLogLevel("ERROR")
+    d = tempfile.mkdtemp(prefix="planidx_")
+    write_index(spark, load_docs(spark, "/root/testdata/sf0.001"), d,
+                lineage_groups=1)
+    idx = open_index(spark, d)
+
+    sections = []
+
+    sections.append((
+        "Top-k BM25 over the physical index",
+        "`search_blockmax(idx, 'spark join', k=5)` (exhaustive path — the "
+        "prune path adds one bucket-UB aggregate over the same pruned scan).\n"
+        "Look for: `PartitionFilters` with `tbucket` (term-bucket partition "
+        "pruning), `PushedFilters: In(term, ...)` (parquet row-group "
+        "pruning) on BOTH the postings and termstats scans (idf is now "
+        "joined in-plan, not collected), a single `TakeOrderedAndProject` "
+        "cut on the narrow (doc_id, score) stream, and the broadcast join "
+        "of the k winners back to docs_store.",
+        fmt(search_blockmax(idx, "spark join", k=5, prune=False)),
+    ))
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    sections.append((
+        "IVF-pruned ANN top-k",
+        "`ivf_topk(emb, [0,1,2], k=5, n_centroids=8, nprobe=2)`.\n"
+        "Look for: the probe set (queries × nprobe cells) built from "
+        "broadcast centroids, then `BroadcastHashJoin` of the corpus "
+        "assignment against the probe cells on `centroid_id` — the cell "
+        "restriction that becomes partition pruning when the corpus is "
+        "stored partitioned by centroid_id. No shuffle of the corpus: "
+        "the only exchanges are broadcasts and the final per-query rank.",
+        fmt(ivf_topk(emb, [0, 1, 2], k=5, n_centroids=8, nprobe=2)),
+    ))
+
+    delta = (idx.postings
+             .filter((F.col("bucket") >= 0) & (F.col("bucket") <= 0))
+             .select("term", "tbucket", "n", "doc_ids"))
+    sections.append((
+        "Incremental delete: affected-bucket scan",
+        "`delete_repo_physical` reads ONLY the deleted repo's doc-range "
+        "buckets to compute df deltas. Look for: "
+        "`PushedFilters: [GreaterThanOrEqual(bucket,..), LessThanOrEqual(bucket,..)]` "
+        "— parquet row-group stats skip every other bucket's blocks; "
+        "column pruning to (term, tbucket, n, doc_ids) — tfs/dls/"
+        "max_tfnorm are never read.",
+        fmt(delta),
+    ))
+
+    out = ["# Physical plans — evidence of pruning/pushdown\n"]
+    out.append("Regenerate with `python tools/capture_plans.py` "
+               "(sf0.001 testdata).\n")
+    for title, blurb, plan in sections:
+        out.append(f"\n## {title}\n\n{blurb}\n\n```\n{plan.rstrip()}\n```\n")
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(repo_root, "PLANS.md"), "w") as fh:
+        fh.write("".join(out))
+    print("PLANS.md written")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
