@@ -220,6 +220,26 @@ def _q_meta_vocab_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("n_name", F.col("r_name").alias("region_name")))
 
 
+def _q_meta_vocab_join_abr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3: coded-vocabulary join emitting BOTH the human label and the
+    raw-code `_abr` twin field (DDM.scala:101-117 emits dataset_subject
+    AND dataset_subject_abr for abr-coded values)."""
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    region = spark.read.parquet(f"{sf_dir}/region.parquet")
+    return (nation.join(F.broadcast(region),
+                        nation.n_regionkey == region.r_regionkey)
+            .select("n_name", F.col("r_name").alias("region_name"),
+                    F.concat(F.lit("ABR"), F.col("r_regionkey").cast("string"))
+                    .alias("region_abr")))
+
+
+def _q_topk_synonyms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5 query-side synonym expansion: 'join' ORs in its synonym 'merge'
+    (SynonymGraphFilter analog; empty map = reference default identity)."""
+    return search(_index(spark, sf_dir), "join", k=10,
+                  synonyms={"join": ["merge"]})
+
+
 def _q_meta_date_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P4 date normalization to `yyyy-MM-ddT00:00:00Z` (DDM.scala:127-130)."""
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
@@ -381,6 +401,12 @@ def _q_ann_signlsh(spark, sf_dir):
     return similarity.signlsh_buckets(_emb(spark, sf_dir), n_planes=4)
 
 
+def _q_dedup_embedding(spark, sf_dir):
+    """Embedding-cosine near-dup pairs: sign-LSH candidate cut + exact
+    cosine verify (the fifth dedup family of the pipeline brief)."""
+    return similarity.embedding_near_dups(_emb(spark, sf_dir), threshold=0.4)
+
+
 def _q_mm_decode(spark, sf_dir):
     return multimodal.decode_features(
         multimodal.attach_binary_payload(_docs_raw(spark, sf_dir)))
@@ -403,6 +429,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fts_upsert_physical": _q_upsert_physical,
         "meta_group_count": _q_meta_group_count,
         "meta_vocab_join": _q_meta_vocab_join,
+        "meta_vocab_join_abr": _q_meta_vocab_join_abr,
+        "fts_topk_synonyms": _q_topk_synonyms,
         "meta_date_normalize": _q_meta_date_normalize,
         "meta_range_filter": _q_meta_range_filter,
         "scan_stores": _q_scan_stores,
@@ -429,6 +457,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_assign": _q_ann_ivf,
         "ann_ivf_topk": _q_ann_ivf_topk,
         "ann_signlsh_buckets": _q_ann_signlsh,
+        "dedup_embedding": _q_dedup_embedding,
         "mm_decode_stub": _q_mm_decode,
     })
     return q
@@ -462,6 +491,13 @@ def oracle_sql() -> dict[str, str]:
     out["meta_vocab_join"] = (
         "SELECT n_name, r_name AS region_name FROM nation "
         "JOIN region ON n_regionkey = r_regionkey")
+    out["meta_vocab_join_abr"] = (
+        "SELECT n_name, r_name AS region_name, "
+        "'ABR' || CAST(r_regionkey AS VARCHAR) AS region_abr FROM nation "
+        "JOIN region ON n_regionkey = r_regionkey")
+    # synonym expansion happens at query-parse time: the oracle scores the
+    # EXPANDED disjunction, which is exactly what the engine must produce
+    out["fts_topk_synonyms"] = osql.bm25_topk_sql(["join", "merge"], k=10)
     out["meta_date_normalize"] = (
         "SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%dT00:00:00Z') AS date_available "
         "FROM orders WHERE o_orderkey <= 100")
@@ -508,5 +544,6 @@ def oracle_sql() -> dict[str, str]:
     # the expected result (prune-exactness gate)
     out["ann_ivf_topk"] = similarity.cosine_topk_sql([0, 1, 2], k=5)
     out["ann_signlsh_buckets"] = similarity.signlsh_buckets_sql(n_planes=4)
+    out["dedup_embedding"] = similarity.embedding_near_dups_sql(threshold=0.4)
     out["mm_decode_stub"] = multimodal.decode_features_sql()
     return out

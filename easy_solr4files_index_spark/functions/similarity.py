@@ -85,9 +85,60 @@ def ivf_assign(emb: DataFrame, n_centroids: int = 8,
     return assign.groupBy("centroid_id").agg(F.count("*").alias("cnt"))
 
 
+def kmeans_fit(emb: DataFrame, k: int = 8, iters: int = 5,
+               vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
+    """Deterministic Lloyd k-means over an embedding column — the real
+    IVF centroid fit (round 1 used "first k vectors" as a stand-in).
+
+    Per iteration: one broadcast crossJoin against the k centroids
+    (assign, rank-1 window) + one posexplode/avg aggregate (recenter).
+    Only k×dim floats ever reach the driver (the new centroids), so the
+    loop is cluster-size independent; iterations are a fixed small count
+    (k-means converges fast and determinism matters more than the last
+    0.1% inertia). Init = the first k vectors by id (seeded, reproducible).
+
+    Returns (centroid_id int, cv array<double>). Iterative ⇒ not
+    SQL-expressible; gated by tests/test_similarity_dedup.py (inertia
+    monotonicity + partition coverage) instead of a DuckDB twin.
+    """
+    spark = emb.sparkSession
+    corpus = emb.select(F.col(id_col).alias("vid"),
+                        _as_double(F.col(vec_col)).alias("v")).persist()
+    cent_rows = [(int(r["vid"]), list(r["v"])) for r in
+                 corpus.filter(F.col("vid") < k).orderBy("vid").collect()]
+    for _ in range(iters):
+        cent = spark.createDataFrame(
+            [(i, v) for i, (_, v) in enumerate(cent_rows)],
+            "centroid_id int, cv array<double>")
+        d2 = F.aggregate(F.zip_with(F.col("cv"), F.col("v"),
+                                    lambda a, b: (a - b) * (a - b)),
+                         F.lit(0.0), lambda acc, x: acc + x)
+        w = Window.partitionBy("vid").orderBy(F.col("d2").asc(),
+                                              F.col("centroid_id").asc())
+        assign = (corpus.crossJoin(F.broadcast(cent))
+                  .withColumn("d2", d2)
+                  .withColumn("rn", F.row_number().over(w)).filter("rn = 1")
+                  .select("vid", "centroid_id", "v"))
+        means = (assign.select("centroid_id", F.posexplode("v").alias("pos", "x"))
+                 .groupBy("centroid_id", "pos").agg(F.avg("x").alias("m"))
+                 .groupBy("centroid_id")
+                 .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+                 .select("centroid_id",
+                         F.transform("pm", lambda s: s["m"]).alias("cv"))
+                 .collect())
+        new = {r["centroid_id"]: list(r["cv"]) for r in means}
+        # empty clusters keep their previous centroid (deterministic)
+        cent_rows = [(i, new.get(i, v)) for i, (_, v) in enumerate(cent_rows)]
+    corpus.unpersist()
+    return spark.createDataFrame(
+        [(i, v) for i, (_, v) in enumerate(cent_rows)],
+        "centroid_id int, cv array<double>")
+
+
 def ivf_topk(emb: DataFrame, query_ids: list[int], k: int = 5,
              n_centroids: int = 8, nprobe: int | None = None,
-             vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
+             vec_col: str = "embedding", id_col: str = "vec_id",
+             centroids: DataFrame | None = None) -> DataFrame:
     """(query_id, neighbor_id, cos, rank) — IVF-PRUNED cosine top-k, the
     ANN *query* path the assignment primitives exist for.
 
@@ -102,8 +153,15 @@ def ivf_topk(emb: DataFrame, query_ids: list[int], k: int = 5,
     (recall sweep: tests/test_similarity.py).
     """
     nprobe = n_centroids if nprobe is None else nprobe
-    cent = (emb.filter(F.col(id_col) < n_centroids)
-            .select(F.col(id_col).alias("centroid_id"), _as_double(F.col(vec_col)).alias("cv")))
+    if centroids is not None:
+        # a kmeans_fit result (centroid_id, cv) — better cells, same plan
+        cent = centroids
+        n_centroids = cent.count()
+        nprobe = min(nprobe, n_centroids)
+    else:
+        cent = (emb.filter(F.col(id_col) < n_centroids)
+                .select(F.col(id_col).alias("centroid_id"),
+                        _as_double(F.col(vec_col)).alias("cv")))
     corpus = emb.select(F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("v"))
     acos = _dot(F.col("cv"), F.col("v")) / (_norm(F.col("cv")) * _norm(F.col("v")))
     wa = Window.partitionBy("neighbor_id").orderBy(F.col("acos").desc(),
@@ -175,6 +233,70 @@ def signlsh_buckets(emb: DataFrame, n_planes: int = 4,
     buckets = (rest.crossJoin(F.broadcast(planes))
                .groupBy("vid").agg(F.sum(bit).alias("bucket")))
     return buckets.groupBy("bucket").agg(F.count("*").alias("cnt"))
+
+
+def embedding_near_dups(emb: DataFrame, threshold: float = 0.4,
+                        n_planes: int = 4, vec_col: str = "embedding",
+                        id_col: str = "vec_id") -> DataFrame:
+    """(a, b, cos) — embedding-cosine near-duplicate pairs: sign-LSH
+    bucket equality generates candidates (the at-scale cut: a hash
+    equi-join on the bucket key, ~1/2^planes of all pairs), exact cosine
+    verifies. Same algorithm in the SQL twin — LSH recall loss (pairs
+    straddling a hyperplane) is inherent and identical on both sides;
+    raise planes for precision of the cut, lower for recall."""
+    planes = (emb.filter(F.col(id_col) < n_planes)
+              .select(F.col(id_col).alias("pid"), _as_double(F.col(vec_col)).alias("pv")))
+    rest = (emb.filter(F.col(id_col) >= n_planes)
+            .select(F.col(id_col).alias("vid"), _as_double(F.col(vec_col)).alias("v")))
+    bit = F.when(F.round(_dot(F.col("pv"), F.col("v")), 6) > 0,
+                 F.expr("shiftleft(cast(1 as bigint), cast(pid as int))")).otherwise(F.lit(0))
+    buckets = (rest.crossJoin(F.broadcast(planes))
+               .groupBy("vid").agg(F.sum(bit).alias("bucket"),
+                                   F.first("v").alias("v")))
+    x = buckets.select(F.col("vid").alias("a"), F.col("bucket"), F.col("v").alias("va"))
+    y = buckets.select(F.col("vid").alias("b"), F.col("bucket"), F.col("v").alias("vb"))
+    pairs = (x.join(y, "bucket").filter(F.col("a") < F.col("b"))
+             .withColumn("cos", F.round(
+                 _dot(F.col("va"), F.col("vb"))
+                 / (_norm(F.col("va")) * _norm(F.col("vb"))), 6))
+             .filter(F.col("cos") >= threshold)
+             .select("a", "b", "cos"))
+    return pairs
+
+
+def embedding_near_dups_sql(threshold: float = 0.4, n_planes: int = 4) -> str:
+    return f"""
+WITH flat AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+         CAST(unnest(embedding) AS DOUBLE) AS x
+  FROM embeddings
+),
+planes AS (SELECT vec_id AS pid, i, x AS px FROM flat WHERE vec_id < {n_planes}),
+dots AS (
+  SELECT f.vec_id AS vid, p.pid, sum(p.px * f.x) AS dot
+  FROM flat f JOIN planes p ON p.i = f.i
+  WHERE f.vec_id >= {n_planes}
+  GROUP BY 1, 2
+),
+buckets AS (
+  SELECT vid,
+         CAST(sum(CASE WHEN round(dot, 6) > 0 THEN CAST(1 AS BIGINT) << pid ELSE 0 END) AS BIGINT) AS bucket
+  FROM dots GROUP BY 1
+),
+pairs AS (
+  SELECT x.vid AS a, y.vid AS b FROM buckets x
+  JOIN buckets y ON x.bucket = y.bucket AND x.vid < y.vid
+),
+cos AS (
+  SELECT p.a, p.b,
+         round(sum(fa.x * fb.x) / (sqrt(sum(fa.x * fa.x)) * sqrt(sum(fb.x * fb.x))), 6) AS cos
+  FROM pairs p
+  JOIN flat fa ON fa.vec_id = p.a
+  JOIN flat fb ON fb.vec_id = p.b AND fb.i = fa.i
+  GROUP BY 1, 2
+)
+SELECT a, b, cos FROM cos WHERE cos >= {threshold}
+"""
 
 
 def signlsh_buckets_sql(n_planes: int = 4) -> str:

@@ -95,7 +95,12 @@ def _append_tombstones(index_dir: str, ranges: list[tuple[int, int]], repo: str)
 
 def _segments(meta: dict) -> list[list[int]]:
     # [start, end) doc_id spans; pre-maintenance indexes have one segment
-    return meta.get("segments") or [[0, int(meta["next_base"])]]
+    if meta.get("segments"):
+        return meta["segments"]
+    span = int(meta["bucket_span"])
+    next_base = int(meta.get(
+        "next_base", ((int(meta["n_docs"]) + span - 1) // span) * span))
+    return [[0, next_base]]
 
 
 def _pred_ranges(idx: PhysicalIndex, meta: dict, pred: F.Column,
@@ -210,7 +215,9 @@ def append_docs_physical(spark: SparkSession, index_dir: str,
     idx = open_index(spark, index_dir)
     cfg = idx.config
     meta = _read_globals(index_dir)
-    base = int(meta["next_base"])
+    base = _segments(meta)[-1][1]
+    base = ((base + cfg.bucket_span - 1) // cfg.bucket_span) * cfg.bucket_span
+    base = max(base, int(meta.get("next_base", base)))
 
     with_ids = assign_doc_ids(new_docs).withColumn(
         "doc_id", (F.col("doc_id") + base).cast("long"))

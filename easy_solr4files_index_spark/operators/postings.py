@@ -331,8 +331,13 @@ def write_index(spark: SparkSession, docs: DataFrame, index_dir: str,
             "min_encode_avgdl": avgdl,
             "next_base": ((n_docs + config.bucket_span - 1)
                           // config.bucket_span) * config.bucket_span}
-    with open(os.path.join(index_dir, "globals.json"), "w") as fh:
+    # globals.json is the commit point (Solr-commit analog, S11): it is
+    # written LAST and swapped in atomically — open_index fails cleanly on
+    # a partial build, and resume picks up from the lineage table
+    tmp = os.path.join(index_dir, "globals.json.tmp")
+    with open(tmp, "w") as fh:
         json.dump(meta, fh)
+    os.replace(tmp, os.path.join(index_dir, "globals.json"))
     return BuildReport(index_dir, fingerprint, n_docs, avgdl, run, skipped)
 
 

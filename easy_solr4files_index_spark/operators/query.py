@@ -34,6 +34,14 @@ from .index_build import FtsIndex
 RESULT_COLS = ["repo", "path", "lang", "score"]
 
 
+class QueryParseError(ValueError):
+    """Typed query-surface error (Q8): the reference maps Solr
+    *ParseException to HTTP 400 (Solr.scala:116-125, SearchServlet.scala:45).
+    Raised for malformed filter trees and undefined filter fields;
+    invalid limit/skip still silently default, matching
+    SearchServlet.scala:76-77."""
+
+
 def _idf_expr(n_docs: int) -> F.Column:
     return F.log(1.0 + (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5))
 
@@ -77,7 +85,32 @@ def _filters_expr(filters):
         return F.col(filters[1]) <= F.lit(filters[2]).cast("timestamp")
     if op == "startswith":
         return F.col(filters[1]).startswith(filters[2])
-    raise ValueError(f"unknown filter op: {op!r}")
+    raise QueryParseError(f"unknown filter op: {op!r}")
+
+
+def _filter_keys(filters) -> set[str]:
+    if not filters:
+        return set()
+    if isinstance(filters, dict):
+        return set(filters)
+    op = filters[0]
+    if op in ("and", "or"):
+        out: set[str] = set()
+        for sub in filters[1:]:
+            out |= _filter_keys(sub)
+        return out
+    if op in ("in", "=", "<=date", "startswith"):
+        return {filters[1]}
+    raise QueryParseError(f"unknown filter op: {op!r}")
+
+
+def validate_filters(filters, columns) -> None:
+    """Undefined field in an fq -> typed error before any Spark job (the
+    Solr undefined-field 400 analog), instead of an AnalysisException
+    mid-plan."""
+    unknown = _filter_keys(filters) - set(columns)
+    if unknown:
+        raise QueryParseError(f"undefined filter field(s): {sorted(unknown)}")
 
 
 def access_filter(user: str | None = None, now: str | None = None):
@@ -124,14 +157,30 @@ def score_terms(index: FtsIndex, terms: list[str]) -> DataFrame:
     return cand.groupBy("doc_id").agg(F.sum(contrib).alias("score"))
 
 
+def expand_synonyms(terms: list[str],
+                    synonyms: dict[str, list[str]] | None) -> list[str]:
+    """Query-side synonym expansion (X5, SynonymGraphFilter on the query
+    analyzer only — schema.xml:520-525). The reference ships an empty
+    synonyms.txt, so the default (None/{}) is the identity; a populated
+    map ORs each term's synonyms into the dismax disjunction."""
+    if not synonyms:
+        return terms
+    out = list(terms)
+    for t in terms:
+        out.extend(synonyms.get(t, ()))
+    return out
+
+
 def search(index: FtsIndex, text: str | None = None, k: int = 10, skip: int = 0,
            filters: dict[str, list[str]] | None = None,
-           round_score: int | None = 4) -> DataFrame:
+           round_score: int | None = 4,
+           synonyms: dict[str, list[str]] | None = None) -> DataFrame:
     """Top-k result page as a DataFrame of RESULT_COLS (+ doc_id)."""
     # param validation mirrors SearchServlet.scala:76-77 (invalid -> defaults)
     k = k if isinstance(k, int) and k >= 1 else 10
     skip = skip if isinstance(skip, int) and skip >= 0 else 0
 
+    validate_filters(filters, index.docs_store.columns)
     fexpr = _filters_expr(filters)
     store = index.docs_store.filter(fexpr)
 
@@ -144,7 +193,7 @@ def search(index: FtsIndex, text: str | None = None, k: int = 10, skip: int = 0,
         )
         return page.select("doc_id", *RESULT_COLS)
 
-    terms = tokenize_py(text, index.config.stopwords)
+    terms = expand_synonyms(tokenize_py(text, index.config.stopwords), synonyms)
     if not terms:
         # all tokens stopworded out ⇒ empty result (dismax with no clauses)
         return (index.docs_store.withColumn("score", F.lit(0.0))

@@ -38,7 +38,7 @@ from ..functions.codec import varbyte_decode
 from ..functions.tokenizer import tokenize_py
 from ..functions.xxhash import term_bucket
 from .postings import PhysicalIndex
-from .query import _filters_expr
+from .query import _filters_expr, expand_synonyms, validate_filters
 
 
 def _score_blocks(blocks: DataFrame, k1: float, b: float, avgdl: float,
@@ -89,12 +89,14 @@ def _score_blocks(blocks: DataFrame, k1: float, b: float, avgdl: float,
 
 def search_blockmax(index: PhysicalIndex, text: str | None = None, k: int = 10,
                     skip: int = 0, filters: dict[str, list[str]] | None = None,
-                    round_score: int | None = 4, prune: bool = True) -> DataFrame:
+                    round_score: int | None = 4, prune: bool = True,
+                    synonyms: dict[str, list[str]] | None = None) -> DataFrame:
     """Top-k page over the physical index; result schema matches
     operators.query.search (doc_id, repo, path, lang, score)."""
     cfg = index.config
     k = k if isinstance(k, int) and k >= 1 else 10
     skip = skip if isinstance(skip, int) and skip >= 0 else 0
+    validate_filters(filters, index.docs_store.columns)
     store = index.docs_store.filter(_filters_expr(filters))
 
     if text is None:
@@ -102,7 +104,7 @@ def search_blockmax(index: PhysicalIndex, text: str | None = None, k: int = 10,
                 .withColumn("score", F.lit(1.0))
                 .select("doc_id", "repo", "path", "lang", "score"))
 
-    terms = sorted(set(tokenize_py(text, cfg.stopwords)))
+    terms = sorted(set(expand_synonyms(tokenize_py(text, cfg.stopwords), synonyms)))
     if not terms:
         return (index.docs_store.withColumn("score", F.lit(0.0))
                 .select("doc_id", "repo", "path", "lang", "score").limit(0))
