@@ -235,10 +235,17 @@ def write_index(spark: SparkSession, docs: DataFrame, index_dir: str,
         run.append("docs_store")
     _mark("docs_store written")
 
+    # tf is deliberately NOT persisted: its only consumers are the postings
+    # encode (once per lineage group) and termstats — and termstats is
+    # DERIVED from the postings block metadata after the write (df(term) =
+    # Σ n over that term's blocks), so the single-group default touches tf
+    # exactly once. Caching ~rows(tf) in the executor heap was the build's
+    # scaling killer: at 200k docs / 16g heap the cache+execution working
+    # set thrashes once ≥8 tasks run concurrently (measured: the tf-
+    # materializing stage took 35s at local[2] but 130s at local[8]).
     tf = (
         enriched.select("doc_id", "dl", F.explode("tokens").alias("term"))
         .groupBy("term", "doc_id", "dl").agg(F.count("*").alias("tf"))
-        .persist()
     )
 
     if n_docs is None:
@@ -247,22 +254,6 @@ def write_index(spark: SparkSession, docs: DataFrame, index_dir: str,
             F.sum("dl").alias("dl_sum")).collect()[0]
         n_docs, avgdl = g["n"] or 0, float(g["avgdl"] or 0.0)
         dl_sum = int(g["dl_sum"] or 0)
-
-    t0 = time.time()
-    if ("termstats", 0) in done:
-        skipped.append("termstats")
-    else:
-        # repartition on the partition column first: each tbucket dir gets
-        # ~1 file instead of (shuffle partitions × dirs) shards — small-file
-        # pressure is the classic partitioned-write killer at scale
-        (tf.groupBy("term").agg(F.count("*").alias("df"))
-         .withColumn("tbucket", _tbucket(F.col("term"), config.term_buckets))
-         .repartition(config.term_buckets, F.col("tbucket"))
-         .write.mode("overwrite").partitionBy("tbucket")
-         .parquet(os.path.join(index_dir, "termstats")))
-        _append_lineage(spark, index_dir, "termstats", 0, fingerprint, "done", t0)
-        run.append("termstats")
-    _mark("termstats written")
 
     # postings, written group-by-group for per-partition lineage.
     # The tbucket filter is applied BEFORE the applyInPandas encode (it
@@ -275,8 +266,8 @@ def write_index(spark: SparkSession, docs: DataFrame, index_dir: str,
     encoder = _make_encoder(config.k1, config.b, avgdl)
     groups = min(lineage_groups, config.term_buckets)
     if groups > 1:
-        # only worth a second 12M-row materialization when several group
-        # jobs will re-scan it; with one group tf's cache already serves
+        # several group jobs re-scan tf — persist it once (serialized
+        # columnar cache; spilling beats recomputing the explode+agg)
         tfb = tfb.persist()
     per_group = (config.term_buckets + groups - 1) // groups
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
@@ -310,13 +301,30 @@ def write_index(spark: SparkSession, docs: DataFrame, index_dir: str,
         run.append(f"postings:{gi}")
         _mark(f"postings group {gi}")
         if fail_after_group is not None and gi + 1 >= fail_after_group:
-            tf.unpersist()
+            tfb.unpersist()
             enriched.unpersist()
             raise RuntimeError(f"injected failure after postings group {gi}")
 
-    tf.unpersist()
     tfb.unpersist()
     enriched.unpersist()
+
+    # termstats DERIVED from the written block metadata: df(term) = Σ n
+    # over the term's blocks. The input is the tiny block-row table (one
+    # row per (term, bucket)), so this costs a metadata-scale aggregate
+    # instead of a second full pass over tf.
+    t0 = time.time()
+    if ("termstats", 0) in done:
+        skipped.append("termstats")
+    else:
+        (spark.read.parquet(os.path.join(index_dir, "postings"))
+         .groupBy("term", "tbucket").agg(F.sum("n").cast("long").alias("df"))
+         .select("term", "df", "tbucket")
+         .repartition(config.term_buckets, F.col("tbucket"))
+         .write.mode("overwrite").partitionBy("tbucket")
+         .parquet(os.path.join(index_dir, "termstats")))
+        _append_lineage(spark, index_dir, "termstats", 0, fingerprint, "done", t0)
+        run.append("termstats")
+    _mark("termstats written")
 
     meta = {"n_docs": n_docs, "avgdl": avgdl, "dl_sum": dl_sum,
             "fingerprint": fingerprint,
