@@ -13,12 +13,15 @@ from __future__ import annotations
 import numpy as np
 
 
-def varbyte_encode(values: np.ndarray) -> bytes:
-    """Encode a uint64 array to VByte. Vectorized: computes per-value
-    byte widths, fills an output buffer with one pass per byte position."""
+def varbyte_encode_arr(values: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Encode a uint64 array to VByte; returns (uint8 buffer, per-value
+    byte widths). Vectorized: one pass per byte position, O(10) passes.
+    The widths let callers slice per-segment byte ranges out of one big
+    encode (operators/postings.py encodes a whole (tbucket, bucket)
+    group's terms in three calls total, not three per term)."""
     v = np.asarray(values, dtype=np.uint64)
     if v.size == 0:
-        return b""
+        return np.empty(0, dtype=np.uint8), np.empty(0, dtype=np.int64)
     # byte width = number of 7-bit groups (>=1); loop is O(max width)=O(10)
     widths = np.ones(v.shape, dtype=np.int64)
     tmp = v.copy()
@@ -42,6 +45,12 @@ def varbyte_encode(values: np.ndarray) -> bytes:
         out[pos[alive]] = byte[alive]
         pos += 1
         alive &= more
+    return out, widths
+
+
+def varbyte_encode(values: np.ndarray) -> bytes:
+    """Encode a uint64 array to VByte (single-buffer convenience)."""
+    out, _ = varbyte_encode_arr(values)
     return out.tobytes()
 
 

@@ -33,7 +33,11 @@ KEY = ["repo", "path", "commit"]
 def assign_doc_ids(docs: DataFrame, num_partitions: int | None = None) -> DataFrame:
     """Returns docs + ``doc_id bigint`` = dense global rank by KEY."""
     if num_partitions is None:
-        num_partitions = max(docs.sparkSession.sparkContext.defaultParallelism, 8)
+        # 4x the core count: with exactly one task per core a single
+        # straggler idles everything else for the whole stage; smaller
+        # range partitions give the scheduler slack to rebalance (the
+        # prefix-sum cost is P integers on the driver — negligible)
+        num_partitions = max(4 * docs.sparkSession.sparkContext.defaultParallelism, 8)
     ranged = docs.repartitionByRange(num_partitions, *KEY).withColumn(
         "_pid", F.spark_partition_id()
     )
