@@ -176,9 +176,15 @@ def run_scaling(sf_dir: str, n_low: int | None = None, n_high: int | None = None
     # daemon workers) to exactly N cores — plain local[N] only limits task
     # slots, letting the "small cluster" free-ride on idle host cores and
     # corrupting the ratio.
+    # n_high FIRST: this host throttles sustained load (burst-credit-like
+    # behavior — the level that runs later in a session measures slower),
+    # and the high-parallelism run is the one that needs full cores;
+    # observed 2026-08-17: five scripted (low, high) runs all had the
+    # local[8] leg 4-7x slower than back-to-back manual runs that put
+    # local[8] first
     trials: dict[int, list[dict]] = {n_low: [], n_high: []}
     for _ in range(SCALE_TRIALS):
-        for cpus in (n_low, n_high):
+        for cpus in (n_high, n_low):
             cmd = [sys.executable, os.path.abspath(__file__), "--_scale-worker",
                    SCALE_CORPUS, str(cpus)]
             if shutil.which("taskset"):
