@@ -61,4 +61,22 @@ def assign_doc_ids(docs: DataFrame, num_partitions: int | None = None) -> DataFr
         .withColumn("doc_id", (F.coalesce("_offset", F.lit(0)) + F.col("_rn") - 1).cast("long"))
         .drop("_pid", "_rn", "_offset")
     )
+    # hand the persisted range-partitioned input to the caller for release
+    # once downstream results are materialized (release_docid_cache) — the
+    # cache exists so the count job and the rank job observe one layout;
+    # recomputation after release is safe (same RDD lineage => same
+    # RangePartitioner seed/boundaries) but uncached, so callers release
+    # only after their own materialization point.
+    out._docid_range_cache = ranged
     return out
+
+
+def release_docid_cache(docs_with_ids: DataFrame) -> None:
+    """Unpersist the internal cache assign_doc_ids left behind (call after
+    the derived outputs are materialized; idempotent, best-effort)."""
+    cached = getattr(docs_with_ids, "_docid_range_cache", None)
+    if cached is not None:
+        try:
+            cached.unpersist()
+        except Exception:
+            pass

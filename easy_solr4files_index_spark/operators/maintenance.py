@@ -7,15 +7,19 @@ only had O(corpus) full rebuilds. This module makes the physical index
 maintainable per key:
 
 Why cost ∝ bag: doc_ids are global ranks ordered by (repo, path,
-commit), so one repo occupies a CONTIGUOUS doc_id range per segment;
+commit), so one repo occupies a CONTIGUOUS doc_id range per segment
+(modulo holes punched by earlier deletes — handled as multiple runs);
 posting buckets are doc_id ranges (bucket = doc_id // span), so a repo's
 postings live in a contiguous bucket range and every scan below is
 pruned (parquet row-group stats on `bucket`, partition dirs on tbucket
 untouched beyond file appends).
 
 Delete = tombstone, not rewrite:
-  * ``_tombstones/`` gains the repo's (lo, hi) doc_id range(s); the
-    docs_store view and the WAND decode kernel mask them everywhere.
+  * ``_tombstones/`` gains the predicate's live (lo, hi) doc_id run(s) —
+    found per segment with an islands grouping (doc_id − row_number is
+    constant within a run), so live docs fragmented by EARLIER deletes
+    are N exact runs, never an over-covering [min, max]; the docs_store
+    view and the WAND decode kernel mask them everywhere.
   * ``_termstats_delta/`` gains negative df rows computed by decoding
     ONLY the affected buckets' blocks.
   * globals n_docs/avgdl/dl_sum updated exactly, so BM25 scores after a
@@ -27,6 +31,11 @@ Delete = tombstone, not rewrite:
     tfnorm(a') <= tfnorm(a) * (a'/a) for a' > a (the dl/avgdl term is
     the only avgdl dependence and it sits in the denominator) — pruning
     stays exact, merely slightly less aggressive until compaction.
+  * auto-compact: once the MERGED tombstone list exceeds
+    ``AUTO_COMPACT_MAX_RANGES`` or masks more than
+    ``AUTO_COMPACT_MAX_MASKED`` of the id space, the delete triggers
+    ``compact_index`` — the decode kernel's range loop stays bounded no
+    matter how many deletes accumulate.
 
 Append = new segment:
   * new docs take doc_ids from a fresh bucket-aligned base (globals
@@ -40,9 +49,14 @@ Append = new segment:
     ``compact_index`` — documented divergence, same class as Lucene's
     per-segment docids before a forceMerge.
 
-Compact = rewrite-in-place (Solr optimize analog): drops tombstoned
+Compact = generation swap (Solr optimize analog): drops tombstoned
 postings/doc rows, folds termstats deltas into the base, re-encodes
-max_tfnorm against the current avgdl, clears the UB inflation.
+max_tfnorm against the current avgdl, clears the UB inflation. The new
+files are written under ``<name>.g<N+1>`` directories and the swap
+commits by atomically rewriting globals.json (the documented commit
+point) — a crash at ANY intermediate moment leaves globals pointing at
+the fully-intact previous generation; stale directories are cleaned up
+best-effort after the commit and are never pointed to.
 
 ``index_dir`` must be a posix-visible shared filesystem (as for
 postings.write_index); driver-side small writes go through pyarrow.
@@ -58,13 +72,19 @@ from typing import Iterator
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ..functions.codec import encode_postings, varbyte_decode
-from .docids import assign_doc_ids
+from .docids import assign_doc_ids, release_docid_cache
 from .index_build import enrich_docs
 from .postings import (POSTINGS_SCHEMA, PhysicalIndex, _append_lineage,
-                       _make_encoder, _tbucket, open_index)
+                       _make_encoder, _tbucket, gen_name, merge_ranges,
+                       open_index)
+
+# auto-compact thresholds: keep the per-block tombstone mask loop O(1)-ish
+# and reclaim space once deletes dominate (delete_where_physical)
+AUTO_COMPACT_MAX_RANGES = 64
+AUTO_COMPACT_MAX_MASKED = 0.20
 
 
 def _read_globals(index_dir: str) -> dict:
@@ -79,7 +99,8 @@ def _write_globals(index_dir: str, meta: dict) -> None:
     os.replace(tmp, os.path.join(index_dir, "globals.json"))
 
 
-def _append_tombstones(index_dir: str, ranges: list[tuple[int, int]], repo: str) -> None:
+def _append_tombstones(index_dir: str, generation: int,
+                       ranges: list[tuple[int, int]], repo: str) -> None:
     import pyarrow as pa
 
     from .postings import pa_append_table
@@ -90,7 +111,8 @@ def _append_tombstones(index_dir: str, ranges: list[tuple[int, int]], repo: str)
         "repo": pa.array([repo] * len(ranges), pa.string()),
         "deleted_at": pa.array([time.time()] * len(ranges), pa.float64()),
     })
-    pa_append_table(table, os.path.join(index_dir, "_tombstones"))
+    pa_append_table(table, os.path.join(index_dir,
+                                        gen_name("_tombstones", generation)))
 
 
 def _segments(meta: dict) -> list[list[int]]:
@@ -105,28 +127,28 @@ def _segments(meta: dict) -> list[list[int]]:
 
 def _pred_ranges(idx: PhysicalIndex, meta: dict, pred: F.Column,
                  label: str) -> list[dict]:
-    """(lo, hi, n, dl_sum) of the predicate's live docs per segment. One
-    pruned docs_store scan; a broadcast join tags each doc with its
-    segment. The predicate must select a doc_id-CONTIGUOUS run within
-    each segment — true for whole-repo and repo+path-prefix predicates
-    because doc_ids are ranks of (repo, path, commit) — and that
-    invariant is asserted, not assumed."""
+    """(lo, hi, n, dls) of each doc_id-CONTIGUOUS run of the predicate's
+    live docs, per segment. One pruned docs_store scan; a broadcast join
+    tags each doc with its segment; an islands grouping (doc_id −
+    row_number constant within a run) discovers the runs — so a whole-repo
+    delete after a path-prefix delete on the same repo (non-contiguous
+    live docs) yields exact runs instead of an over-covering [min, max].
+    The per-segment window sorts only the predicate's own rows (O(bag))."""
     segs = _segments(meta)
     seg_df = idx.spark.createDataFrame(
         [(i, s[0], s[1]) for i, s in enumerate(segs)], "seg int, s0 long, s1 long")
+    w = Window.partitionBy("seg").orderBy("doc_id")
     rows = (idx.docs_store.filter(pred)
             .join(F.broadcast(seg_df),
                   (F.col("doc_id") >= F.col("s0")) & (F.col("doc_id") < F.col("s1")))
-            .groupBy("seg")
+            .select("seg", "doc_id", "dl")
+            .withColumn("_run", F.col("doc_id") - F.row_number().over(w))
+            .groupBy("seg", "_run")
             .agg(F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi"),
                  F.count("*").alias("n"), F.sum("dl").alias("dls"))
             .collect())
-    out = []
-    for r in rows:
-        assert r["n"] == r["hi"] - r["lo"] + 1, \
-            f"{label!r} not doc_id-contiguous in segment {r['seg']}"
-        out.append({"lo": r["lo"], "hi": r["hi"], "n": r["n"], "dls": r["dls"]})
-    return out
+    return [{"lo": r["lo"], "hi": r["hi"], "n": r["n"], "dls": r["dls"]}
+            for r in rows]
 
 
 def _df_delta_kernel(ranges: list[tuple[int, int]], sign: int):
@@ -153,24 +175,29 @@ def _df_delta_kernel(ranges: list[tuple[int, int]], sign: int):
     return kernel
 
 
-def delete_repo_physical(spark: SparkSession, index_dir: str, repo: str) -> PhysicalIndex:
+def delete_repo_physical(spark: SparkSession, index_dir: str, repo: str,
+                         auto_compact: bool = True) -> PhysicalIndex:
     """`deleteDocuments("id:<bagId>*")` analog over the physical index
     (EasySolr4filesIndexApp.scala:49). Touches only the repo's doc-range
-    buckets; returns the reopened index."""
-    return delete_where_physical(spark, index_dir, F.col("repo") == repo, repo)
+    buckets; returns the updated index."""
+    return delete_where_physical(spark, index_dir, F.col("repo") == repo,
+                                 repo, auto_compact=auto_compact)
 
 
 def delete_path_prefix_physical(spark: SparkSession, index_dir: str,
-                                repo: str, prefix: str) -> PhysicalIndex:
+                                repo: str, prefix: str,
+                                auto_compact: bool = True) -> PhysicalIndex:
     """Folder-delete analog (`id:<uuid>/Documents/*`, reference
     docs/index.md:19): path-prefix runs are doc_id-contiguous within a
     repo because doc_ids rank by (repo, path, commit)."""
     pred = (F.col("repo") == repo) & F.col("path").startswith(prefix)
-    return delete_where_physical(spark, index_dir, pred, f"{repo}/{prefix}*")
+    return delete_where_physical(spark, index_dir, pred, f"{repo}/{prefix}*",
+                                 auto_compact=auto_compact)
 
 
 def delete_where_physical(spark: SparkSession, index_dir: str,
-                          pred: F.Column, label: str) -> PhysicalIndex:
+                          pred: F.Column, label: str,
+                          auto_compact: bool = True) -> PhysicalIndex:
     t0 = time.time()
     idx = open_index(spark, index_dir)
     meta = _read_globals(index_dir)
@@ -192,18 +219,48 @@ def delete_where_physical(spark: SparkSession, index_dir: str,
                           "term string, tbucket int, df long"))
     (delta.groupBy("term", "tbucket").agg(F.sum("df").alias("df"))
      .write.mode("append").partitionBy("tbucket")
-     .parquet(os.path.join(index_dir, "_termstats_delta")))
+     .parquet(idx.path_of("_termstats_delta")))
 
-    _append_tombstones(index_dir, [(r["lo"], r["hi"]) for r in ranges], label)
+    _append_tombstones(index_dir, idx.generation,
+                       [(r["lo"], r["hi"]) for r in ranges], label)
+    # seed min_encode_avgdl from the PRE-delete avgdl — the value the
+    # existing blocks were actually encoded with; seeding post-delete
+    # would under-inflate the pruning upper bound (dropping true top-k).
+    pre_avgdl = float(meta.get("avgdl", 0.0))
+    meta.setdefault("min_encode_avgdl", pre_avgdl or 0.0)
+    # dl_sum fallback for indexes built before dl_sum was recorded:
+    # reconstruct from avgdl*n_docs instead of 0 (which would go negative)
+    dl_sum0 = int(meta.get("dl_sum", round(pre_avgdl * int(meta["n_docs"]))))
     meta["n_docs"] = int(meta["n_docs"]) - n_del
-    meta["dl_sum"] = int(meta.get("dl_sum", 0)) - int(dl_del)
+    meta["dl_sum"] = dl_sum0 - int(dl_del)
     meta["avgdl"] = (meta["dl_sum"] / meta["n_docs"]) if meta["n_docs"] else 0.0
-    meta.setdefault("min_encode_avgdl", meta["avgdl"] or 0.0)
     meta.setdefault("segments", _segments(meta))
     _write_globals(index_dir, meta)
     _append_lineage(spark, index_dir, f"delete:{label}", 0,
                     meta.get("fingerprint", ""), "done", t0)
-    return open_index(spark, index_dir)
+
+    # construct the updated index in-memory instead of a full reopen
+    # (open_index re-reads globals + collects tombstones — one extra job
+    # per delete in a tight update loop)
+    tombs = merge_ranges(list(idx.tombstones)
+                         + [(r["lo"], r["hi"]) for r in ranges])
+    out = PhysicalIndex(spark, index_dir, idx.config, meta["n_docs"],
+                        meta["avgdl"],
+                        min_encode_avgdl=meta["min_encode_avgdl"],
+                        tombstones=tombs, n_buckets=idx.n_buckets,
+                        generation=idx.generation)
+    if auto_compact and _should_compact(out):
+        return compact_index(spark, index_dir)
+    return out
+
+
+def _should_compact(idx: PhysicalIndex) -> bool:
+    if len(idx.tombstones) > AUTO_COMPACT_MAX_RANGES:
+        return True
+    # fraction of STORED doc rows that are tombstoned (dead decode work),
+    # not of the sparse id space — small corpora compact too
+    masked = sum(hi - lo + 1 for lo, hi in idx.tombstones)
+    return masked / max(idx.n_docs + masked, 1) > AUTO_COMPACT_MAX_MASKED
 
 
 def append_docs_physical(spark: SparkSession, index_dir: str,
@@ -228,11 +285,13 @@ def append_docs_physical(spark: SparkSession, index_dir: str,
         if n_new == 0:
             return idx
         n2 = int(meta["n_docs"]) + n_new
-        dl_sum2 = int(meta.get("dl_sum", 0)) + dl_new
+        dl_sum2 = int(meta.get("dl_sum",
+                               round(float(meta.get("avgdl", 0.0))
+                                     * int(meta["n_docs"])))) + dl_new
         avgdl2 = dl_sum2 / n2 if n2 else 0.0
 
         enriched.drop("tokens").write.mode("append").parquet(
-            os.path.join(index_dir, "docs_store"))
+            idx.path_of("docs_store"))
 
         tf = (enriched.select("doc_id", "dl", F.explode("tokens").alias("term"))
               .groupBy("term", "doc_id", "dl").agg(F.count("*").alias("tf"))
@@ -244,37 +303,49 @@ def append_docs_physical(spark: SparkSession, index_dir: str,
             _make_encoder(cfg.k1, cfg.b, avgdl2), POSTINGS_SCHEMA)
         (part.repartition(cfg.term_buckets, F.col("tbucket"))
          .write.mode("append").partitionBy("tbucket")
-         .parquet(os.path.join(index_dir, "postings")))
+         .parquet(idx.path_of("postings")))
         (tf.groupBy("term").agg(F.count("*").alias("df"))
          .withColumn("tbucket", _tbucket(F.col("term"), cfg.term_buckets))
          .write.mode("append").partitionBy("tbucket")
-         .parquet(os.path.join(index_dir, "_termstats_delta")))
+         .parquet(idx.path_of("_termstats_delta")))
         tf.unpersist()
     finally:
         enriched.unpersist()
+        release_docid_cache(with_ids)
 
     segs = _segments(meta)
     seg_end = base + n_new
     meta["segments"] = segs + [[base, seg_end]]
+    # fallback seeds from the PRE-append avgdl: that is what the existing
+    # blocks were encoded with (seeding post-append could under-inflate
+    # the pruning upper bound for old blocks)
+    prev_min = meta.get("min_encode_avgdl", float(meta.get("avgdl", 0.0)))
     meta["n_docs"], meta["dl_sum"], meta["avgdl"] = n2, dl_sum2, avgdl2
-    prev_min = meta.get("min_encode_avgdl", meta["avgdl"])
     meta["min_encode_avgdl"] = min(prev_min, avgdl2) if avgdl2 else prev_min
     meta["next_base"] = ((seg_end + cfg.bucket_span - 1)
                          // cfg.bucket_span) * cfg.bucket_span
     _write_globals(index_dir, meta)
     _append_lineage(spark, index_dir, "append", 0,
                     meta.get("fingerprint", ""), "done", t0)
-    return open_index(spark, index_dir)
+    return PhysicalIndex(spark, index_dir, cfg, n2, avgdl2,
+                         min_encode_avgdl=meta["min_encode_avgdl"],
+                         tombstones=idx.tombstones,
+                         n_buckets=meta["next_base"] // cfg.bucket_span,
+                         generation=idx.generation)
 
 
 def upsert_repos_physical(spark: SparkSession, index_dir: str,
-                          new_docs: DataFrame) -> PhysicalIndex:
+                          new_docs: DataFrame,
+                          auto_compact: bool = True) -> PhysicalIndex:
     """Delete-before-insert per repo (the reference's idempotent update,
     EasySolr4filesIndexApp.scala:48-51): every repo present in new_docs
-    fully replaces its docs; cost ∝ the touched repos, not the corpus."""
-    repos = [r["repo"] for r in new_docs.select("repo").distinct().collect()]
-    for repo in sorted(repos):
-        delete_repo_physical(spark, index_dir, repo)
+    fully replaces its docs; cost ∝ the touched repos, not the corpus.
+    One delete pass covers ALL the repos (single pruned scan + one df
+    delta job), not one pass per repo."""
+    repos = sorted(r["repo"] for r in new_docs.select("repo").distinct().collect())
+    if repos:
+        delete_where_physical(spark, index_dir, F.col("repo").isin(repos),
+                              ",".join(repos), auto_compact=auto_compact)
     return append_docs_physical(spark, index_dir, new_docs)
 
 
@@ -282,12 +353,20 @@ def compact_index(spark: SparkSession, index_dir: str) -> PhysicalIndex:
     """Fold tombstones + termstats deltas into the base files and refresh
     block max_tfnorm against the current avgdl (Solr optimize analog).
     doc_ids keep their values (gaps are fine — BM25 and tie-breaks only
-    need order); a full re-rank would be a rebuild, not a compaction."""
+    need order); a full re-rank would be a rebuild, not a compaction.
+
+    Crash-safety: everything is written under NEW generation-suffixed
+    directories; the single commit point is the atomic globals.json
+    rewrite that bumps ``generation``. Before the commit, readers see the
+    old generation untouched; after it, the new one — there is no window
+    where open_index can observe a half-swapped index (the round-2
+    rmtree/os.replace sequence had one)."""
     t0 = time.time()
     idx = open_index(spark, index_dir)
     cfg = idx.config
     meta = _read_globals(index_dir)
-    delta_path = os.path.join(index_dir, "_termstats_delta")
+    gen = idx.generation
+    delta_path = idx.path_of("_termstats_delta")
     if not idx.tombstones and not os.path.exists(delta_path):
         return idx
     avgdl = meta["avgdl"] if meta["avgdl"] > 0 else 1.0
@@ -314,28 +393,30 @@ def compact_index(spark: SparkSession, index_dir: str) -> PhysicalIndex:
             yield pd.DataFrame(rows, columns=["term", "bucket", "n", "doc_ids",
                                               "tfs", "dls", "max_tfnorm", "tbucket"])
 
-    tmp_post = os.path.join(index_dir, "postings.compact")
+    new_gen = gen + 1
+    new_post = os.path.join(index_dir, gen_name("postings", new_gen))
     (idx.postings.mapInPandas(rewrite, POSTINGS_SCHEMA)
      .repartition(cfg.term_buckets, F.col("tbucket"))
-     .write.mode("overwrite").partitionBy("tbucket").parquet(tmp_post))
+     .write.mode("overwrite").partitionBy("tbucket").parquet(new_post))
 
-    tmp_ts = os.path.join(index_dir, "termstats.compact")
+    new_ts = os.path.join(index_dir, gen_name("termstats", new_gen))
     (idx.termstats  # merged view: base + deltas, df > 0
      .repartition(cfg.term_buckets, F.col("tbucket"))
-     .write.mode("overwrite").partitionBy("tbucket").parquet(tmp_ts))
+     .write.mode("overwrite").partitionBy("tbucket").parquet(new_ts))
 
-    tmp_docs = os.path.join(index_dir, "docs_store.compact")
-    idx.docs_store.write.mode("overwrite").parquet(tmp_docs)  # tombstones filtered
+    new_docs = os.path.join(index_dir, gen_name("docs_store", new_gen))
+    idx.docs_store.write.mode("overwrite").parquet(new_docs)  # tombstones filtered
 
-    for tmp, final in ((tmp_post, "postings"), (tmp_ts, "termstats"),
-                       (tmp_docs, "docs_store")):
-        dst = os.path.join(index_dir, final)
-        shutil.rmtree(dst, ignore_errors=True)
-        os.replace(tmp, dst)
-    shutil.rmtree(os.path.join(index_dir, "_tombstones"), ignore_errors=True)
-    shutil.rmtree(delta_path, ignore_errors=True)
+    meta["generation"] = new_gen
     meta["min_encode_avgdl"] = meta["avgdl"]
-    _write_globals(index_dir, meta)
+    _write_globals(index_dir, meta)  # THE commit point (atomic os.replace)
+
+    # post-commit cleanup: the old generation + its sidecars are no longer
+    # referenced by any reader that re-opens; removal is best-effort
+    for name in ("postings", "termstats", "docs_store",
+                 "_tombstones", "_termstats_delta"):
+        shutil.rmtree(os.path.join(index_dir, gen_name(name, gen)),
+                      ignore_errors=True)
     _append_lineage(spark, index_dir, "compact", 0,
                     meta.get("fingerprint", ""), "done", t0)
     return open_index(spark, index_dir)

@@ -53,7 +53,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from .docids import assign_doc_ids
+from .docids import assign_doc_ids, release_docid_cache
 from .index_build import FtsIndex, IndexConfig, enrich_docs
 
 POSTINGS_SCHEMA = ("term string, bucket long, n int, doc_ids binary, tfs binary, "
@@ -62,6 +62,23 @@ POSTINGS_SCHEMA = ("term string, bucket long, n int, doc_ids binary, tfs binary,
 
 def _tbucket(col, buckets: int):
     return F.pmod(F.xxhash64(col), F.lit(buckets)).cast("int")
+
+
+# directories compact_index swaps per generation; _lineage/_metrics are
+# append-only logs shared across generations
+GEN_SWAPPED = ("postings", "termstats", "docs_store",
+               "_tombstones", "_termstats_delta")
+
+
+def gen_name(name: str, generation: int) -> str:
+    """Generation-suffixed directory name. A fresh build is generation 0
+    (plain names, backward compatible); each compact_index bumps the
+    generation and writes NEW directories, committing the swap by
+    atomically rewriting globals.json — a crash mid-compact leaves the old
+    generation fully intact and still pointed-to (S11 commit semantics)."""
+    if generation == 0 or name not in GEN_SWAPPED:
+        return name
+    return f"{name}.g{generation}"
 
 
 def _fingerprint(docs_with_ids: DataFrame) -> str:
@@ -325,10 +342,12 @@ def write_index(spark: SparkSession, docs: DataFrame, index_dir: str,
         if fail_after_group is not None and gi + 1 >= fail_after_group:
             tfb.unpersist()
             enriched.unpersist()
+            release_docid_cache(with_ids)
             raise RuntimeError(f"injected failure after postings group {gi}")
 
     tfb.unpersist()
     enriched.unpersist()
+    release_docid_cache(with_ids)
 
     # termstats DERIVED from the written block metadata: df(term) = Σ n
     # over the term's blocks. The input is the tiny block-row table (one
@@ -387,6 +406,7 @@ class PhysicalIndex:
     min_encode_avgdl: float = 0.0
     tombstones: tuple[tuple[int, int], ...] = ()
     n_buckets: int = 0  # upper bound on distinct doc-range bucket ids
+    generation: int = 0  # compact_index swap counter (see gen_name)
 
     def __post_init__(self) -> None:
         # memoized logical plans: spark.read.parquet re-lists files and
@@ -394,10 +414,12 @@ class PhysicalIndex:
         # worth paying once per open, not once per property access
         self._cache: dict[str, DataFrame] = {}
 
+    def path_of(self, name: str) -> str:
+        return os.path.join(self.index_dir, gen_name(name, self.generation))
+
     def _read(self, name: str) -> DataFrame:
         if name not in self._cache:
-            self._cache[name] = self.spark.read.parquet(
-                os.path.join(self.index_dir, name))
+            self._cache[name] = self.spark.read.parquet(self.path_of(name))
         return self._cache[name]
 
     def _not_tombstoned(self) -> F.Column:
@@ -423,7 +445,7 @@ class PhysicalIndex:
         append: positive). The union+agg keeps term/tbucket filters
         pushable below both scans (they are grouping keys)."""
         base = self._read("termstats").select("term", "tbucket", "df")
-        delta_path = os.path.join(self.index_dir, "_termstats_delta")
+        delta_path = self.path_of("_termstats_delta")
         if not os.path.exists(delta_path):
             return base
         delta = self._read("_termstats_delta").select("term", "tbucket", "df")
@@ -448,11 +470,12 @@ def open_index(spark: SparkSession, index_dir: str) -> PhysicalIndex:
                          include_path_tokens=meta["include_path_tokens"],
                          bucket_span=meta["bucket_span"],
                          term_buckets=meta["term_buckets"])
-    tomb_path = os.path.join(index_dir, "_tombstones")
+    generation = int(meta.get("generation", 0))
+    tomb_path = os.path.join(index_dir, gen_name("_tombstones", generation))
     tombstones: tuple[tuple[int, int], ...] = ()
     if os.path.exists(tomb_path):
         rows = spark.read.parquet(tomb_path).collect()
-        tombstones = tuple(sorted((r["lo"], r["hi"]) for r in rows))
+        tombstones = merge_ranges((r["lo"], r["hi"]) for r in rows)
     next_base = meta.get(
         "next_base",
         ((meta["n_docs"] + meta["bucket_span"] - 1) // meta["bucket_span"])
@@ -460,4 +483,18 @@ def open_index(spark: SparkSession, index_dir: str) -> PhysicalIndex:
     return PhysicalIndex(spark, index_dir, config, meta["n_docs"], meta["avgdl"],
                          min_encode_avgdl=meta.get("min_encode_avgdl", meta["avgdl"]),
                          tombstones=tombstones,
-                         n_buckets=next_base // meta["bucket_span"])
+                         n_buckets=next_base // meta["bucket_span"],
+                         generation=generation)
+
+
+def merge_ranges(ranges) -> tuple[tuple[int, int], ...]:
+    """Collapse adjacent/overlapping (lo, hi) doc_id ranges: N accumulated
+    deletes of neighboring runs cost the decode kernel ONE mask test, not
+    N — the tombstone list every query loops over stays bounded."""
+    merged: list[list[int]] = []
+    for lo, hi in sorted((int(lo), int(hi)) for lo, hi in ranges):
+        if merged and lo <= merged[-1][1] + 1:
+            merged[-1][1] = max(merged[-1][1], hi)
+        else:
+            merged.append([lo, hi])
+    return tuple((lo, hi) for lo, hi in merged)

@@ -114,3 +114,127 @@ def test_delete_then_delete_is_idempotent_safe(spark, corpus, tmp_path_factory):
     delete_repo_physical(spark, d, "org3/proj0")
     idx = delete_repo_physical(spark, d, "org3/proj0")  # no live docs left
     assert idx.docs_store.filter(F.col("repo") == "org3/proj0").count() == 0
+
+
+def test_noncontiguous_live_runs_delete(spark, corpus, tmp_path_factory):
+    """Round-2 defect (ADVICE): a path-prefix delete followed by a
+    whole-repo delete on the SAME repo leaves non-contiguous live docs —
+    the old single-run assert crashed, and an over-covering [min, max]
+    would double-subtract df for the already-tombstoned middle. The
+    islands grouping must emit exact runs and keep BM25 stats
+    fresh-build-identical."""
+    from easy_solr4files_index_spark.operators.maintenance import (
+        delete_path_prefix_physical)
+
+    d = str(tmp_path_factory.mktemp("inc5"))
+    write_index(spark, corpus, d, lineage_groups=1)
+    repo = "org2/proj1"
+    # all of this repo's docs live under src/mod8 (i steps by 18); the
+    # File01xx number band is a strict MIDDLE slice of its doc_id run
+    mid = "src/mod8/File01"
+    n_mid = corpus.filter((F.col("repo") == repo)
+                          & F.col("path").startswith(mid)).count()
+    n_all = corpus.filter(F.col("repo") == repo).count()
+    assert 0 < n_mid < n_all, "fixture must carve a strict middle subset"
+
+    delete_path_prefix_physical(spark, d, repo, mid, auto_compact=False)
+    idx = delete_repo_physical(spark, d, repo, auto_compact=False)
+    assert idx.docs_store.filter(F.col("repo") == repo).count() == 0
+
+    d_fresh = str(tmp_path_factory.mktemp("fresh5"))
+    write_index(spark, corpus.filter(F.col("repo") != repo), d_fresh,
+                lineage_groups=1)
+    fresh = open_index(spark, d_fresh)
+    assert _listing(idx) == _listing(fresh)
+    assert abs(idx.avgdl - fresh.avgdl) < 1e-9
+
+
+def test_auto_compact_triggers_and_bounds_tombstones(spark, corpus,
+                                                     tmp_path_factory):
+    """Deletes accumulate tombstones until the masked fraction passes
+    AUTO_COMPACT_MAX_MASKED, then the delete itself compacts: the decode
+    kernel's range list resets and results stay fresh-build-identical."""
+    d = str(tmp_path_factory.mktemp("inc6"))
+    write_index(spark, corpus, d, lineage_groups=1)
+    gone = ["org0/proj0", "org1/proj0", "org2/proj0", "org3/proj0",
+            "org4/proj0"]
+    idx = None
+    for repo in gone:
+        idx = delete_repo_physical(spark, d, repo)  # auto_compact default
+    assert idx.generation >= 1, "masked fraction >20% must auto-compact"
+    # compaction fired mid-sequence: only post-compact deletes remain as
+    # tombstones — the range list is bounded, not one-per-delete
+    assert len(idx.tombstones) < len(gone)
+
+    d_fresh = str(tmp_path_factory.mktemp("fresh6"))
+    write_index(spark, corpus.filter(~F.col("repo").isin(gone)), d_fresh,
+                lineage_groups=1)
+    assert _listing(idx) == _listing(open_index(spark, d_fresh))
+    assert _listing(idx, prune=True) == _listing(idx, prune=False)
+
+
+def test_compact_generation_swap_and_crash_window(spark, corpus,
+                                                  tmp_path_factory):
+    """compact_index commits by atomically bumping `generation` in
+    globals.json; stray next-generation directories WITHOUT the commit
+    (a simulated crash mid-compact) must be invisible to open_index."""
+    import json
+
+    d = str(tmp_path_factory.mktemp("inc7"))
+    write_index(spark, corpus, d, lineage_groups=1)
+    delete_repo_physical(spark, d, "org5/proj2", auto_compact=False)
+    idx = open_index(spark, d)
+    listing = _listing(idx)
+    assert idx.generation == 0
+
+    # simulated crash: half-written next-gen dirs exist, globals unchanged
+    for name in ("postings.g1", "docs_store.g1"):
+        os.makedirs(os.path.join(d, name), exist_ok=True)
+        with open(os.path.join(d, name, "_partial"), "w") as fh:
+            fh.write("junk")
+    reopened = open_index(spark, d)
+    assert reopened.generation == 0
+    assert _listing(reopened) == listing
+
+    # the real compact: generation bumps, old-gen dirs are swept,
+    # results unchanged
+    compacted = compact_index(spark, d)
+    assert compacted.generation == 1
+    assert compacted.tombstones == ()
+    with open(os.path.join(d, "globals.json")) as fh:
+        assert json.load(fh)["generation"] == 1
+    assert os.path.isdir(os.path.join(d, "postings.g1"))
+    assert not os.path.exists(os.path.join(d, "postings"))
+    assert _listing(compacted) == listing
+
+    # a second delete+compact round on the swapped index: gen 2
+    delete_repo_physical(spark, d, "org4/proj2", auto_compact=False)
+    twice = compact_index(spark, d)
+    assert twice.generation == 2
+    assert os.path.isdir(os.path.join(d, "postings.g2"))
+    assert not os.path.exists(os.path.join(d, "postings.g1"))
+
+
+def test_merge_ranges():
+    from easy_solr4files_index_spark.operators.postings import merge_ranges
+
+    assert merge_ranges([]) == ()
+    assert merge_ranges([(5, 9), (0, 3)]) == ((0, 3), (5, 9))
+    # adjacency merges (hi+1 == lo), overlap merges, containment collapses
+    assert merge_ranges([(0, 3), (4, 7)]) == ((0, 7),)
+    assert merge_ranges([(0, 5), (3, 9), (20, 22), (21, 30)]) == \
+        ((0, 9), (20, 30))
+    assert merge_ranges([(0, 100), (10, 20)]) == ((0, 100),)
+
+
+def test_docid_range_cache_released(spark, corpus):
+    from easy_solr4files_index_spark.operators.docids import (
+        assign_doc_ids, release_docid_cache)
+
+    with_ids = assign_doc_ids(corpus)
+    with_ids.count()
+    cached = with_ids._docid_range_cache
+    assert cached.storageLevel.useMemory or cached.storageLevel.useDisk
+    release_docid_cache(with_ids)
+    assert not (cached.storageLevel.useMemory or cached.storageLevel.useDisk)
+    release_docid_cache(with_ids)  # idempotent
