@@ -135,19 +135,25 @@ def access_filter(user: str | None = None, now: str | None = None):
                    ["=", "depositor", user]]]
 
 
-def score_terms(index: FtsIndex, terms: list[str]) -> DataFrame:
+def score_terms(index: FtsIndex, terms: list[str],
+                fq_ids: DataFrame | None = None) -> DataFrame:
     """(doc_id, score) for every doc matching ≥1 query term — exact BM25.
 
     Plan shape (scale notes): the term filter prunes the tf scan
     (predicate pushdown on the physical index's term-bucket partitioning
     — see postings.py); termstats for ≤ a handful of query terms is tiny
     ⇒ broadcast join; groupBy(doc_id) is a partial+final hash agg whose
-    keys are near-unique ⇒ no skew.
+    keys are near-unique ⇒ no skew. ``fq_ids`` (doc_id-only) pushes the
+    filter-query semijoin BELOW the aggregate: with a selective fq the
+    sum never runs for excluded docs, and the semijoin shuffles on the
+    aggregate's own key so the exchange is reused.
     """
     k1, b = index.config.k1, index.config.b
     uniq = sorted(set(terms))
     ts = index.termstats.filter(F.col("term").isin(uniq)).withColumn("idf", _idf_expr(index.n_docs))
     cand = index.tf.filter(F.col("term").isin(uniq)).join(F.broadcast(ts), "term")
+    if fq_ids is not None:
+        cand = cand.join(fq_ids, "doc_id", "left_semi")
     avgdl = index.avgdl if index.avgdl > 0 else 1.0
     contrib = (
         F.col("idf")
@@ -158,16 +164,26 @@ def score_terms(index: FtsIndex, terms: list[str]) -> DataFrame:
 
 
 def expand_synonyms(terms: list[str],
-                    synonyms: dict[str, list[str]] | None) -> list[str]:
+                    synonyms: dict[str, list[str]] | None,
+                    stopwords=None) -> list[str]:
     """Query-side synonym expansion (X5, SynonymGraphFilter on the query
     analyzer only — schema.xml:520-525). The reference ships an empty
     synonyms.txt, so the default (None/{}) is the identity; a populated
-    map ORs each term's synonyms into the dismax disjunction."""
+    map ORs each term's synonyms into the dismax disjunction.
+
+    Multi-word entries (SynonymGraphFilter's ``a => b c`` form) are run
+    through the SAME analyzer chain as the query text — each synonym
+    string tokenizes to 1..n terms and ALL of them join the disjunction
+    (exact phrase positions don't matter here: the reference's handler
+    is a boost-less pure-OR dismax, SearchServlet.scala:79-88)."""
     if not synonyms:
         return terms
     out = list(terms)
     for t in terms:
-        out.extend(synonyms.get(t, ()))
+        for s in synonyms.get(t, ()):
+            toks = (tokenize_py(s, stopwords) if stopwords is not None
+                    else tokenize_py(s))
+            out.extend(toks)
     return out
 
 
@@ -193,19 +209,20 @@ def search(index: FtsIndex, text: str | None = None, k: int = 10, skip: int = 0,
         )
         return page.select("doc_id", *RESULT_COLS)
 
-    terms = expand_synonyms(tokenize_py(text, index.config.stopwords), synonyms)
+    terms = expand_synonyms(tokenize_py(text, index.config.stopwords),
+                            synonyms, index.config.stopwords)
     if not terms:
         # all tokens stopworded out ⇒ empty result (dismax with no clauses)
         return (index.docs_store.withColumn("score", F.lit(0.0))
                 .select("doc_id", *RESULT_COLS).limit(0))
 
-    scores = score_terms(index, terms)
-    # fq semantics = semijoin on ids BEFORE the cut (non-scoring filters,
-    # like Solr fq); the cut itself runs on the narrow (doc_id, score)
-    # stream (TakeOrderedAndProject — no full-store shuffle), and only the
-    # k winners are joined back for stored fields (tiny side broadcast).
-    if filters:
-        scores = scores.join(store.select("doc_id"), "doc_id", "left_semi")
+    # fq semantics = semijoin on ids BELOW the scoring aggregate
+    # (non-scoring filters, like Solr fq — see score_terms); the cut runs
+    # on the narrow (doc_id, score) stream (TakeOrderedAndProject — no
+    # full-store shuffle), and only the k winners are joined back for
+    # stored fields (tiny side broadcast).
+    scores = score_terms(index, terms,
+                         fq_ids=store.select("doc_id") if filters else None)
     score_col = F.round(F.col("score"), round_score) if round_score is not None else F.col("score")
     page = F.broadcast(
         scores.orderBy(F.col("score").desc(), F.col("doc_id").asc())
@@ -234,17 +251,53 @@ def num_found(index: FtsIndex, text: str | None = None,
 def search_envelope(index: FtsIndex, text: str | None = None, k: int = 10, skip: int = 0,
                     filters: dict[str, list[str]] | None = None) -> str:
     """JSON envelope shaped like the reference response
-    (Solr.scala:91-103,173-181; docs/api/api.yml:172-256)."""
-    rows = search(index, text, k, skip, filters).collect()
-    found = num_found(index, text, filters)
+    (Solr.scala:91-103,173-181; docs/api/api.yml:172-256).
+
+    Single scoring pass (round 2 ran search + num_found as two): the
+    narrow (doc_id, score) stream is persisted once; the page is a
+    TakeOrdered over it and ``found`` is its count — exactly how Solr
+    returns the page and numFound from one query execution."""
+    k = k if isinstance(k, int) and k >= 1 else 10
+    skip = skip if isinstance(skip, int) and skip >= 0 else 0
+    validate_filters(filters, index.docs_store.columns)
+    store = index.docs_store.filter(_filters_expr(filters))
+
+    if text is None:
+        found = store.count()
+        rows = (store.orderBy(F.col("doc_id").asc()).offset(skip).limit(k)
+                .select("repo", "path", "lang").collect())
+    else:
+        terms = expand_synonyms(tokenize_py(text, index.config.stopwords),
+                                None, index.config.stopwords)
+        if not terms:
+            rows, found = [], 0
+        else:
+            scores = score_terms(
+                index, terms,
+                fq_ids=store.select("doc_id") if filters else None).persist()
+            try:
+                found = scores.count()
+                page = F.broadcast(
+                    scores.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+                    .offset(skip).limit(k)
+                    .select("doc_id", F.round("score", 4).alias("score")))
+                rows = (page.join(index.docs_store
+                                  .select("doc_id", "repo", "path", "lang"),
+                                  "doc_id")
+                        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+                        .collect())
+            finally:
+                scores.unpersist()
     items = [
-        {"repo": r["repo"], "path": r["path"], "lang": r["lang"], "score": r["score"]}
+        {"repo": r["repo"], "path": r["path"], "lang": r["lang"],
+         "score": r["score"] if text is not None else 1.0}
         for r in rows
     ]
     return json.dumps({
         "summary": {
             "text": text if text is not None else "*",
             "skip": skip, "limit": k,
+            "time_allowed": 5000,  # echoed like Solr.scala:97 (pinned)
             "found": found, "returned": len(items),
         },
         "fileitems": items,

@@ -43,7 +43,8 @@ from .query import _filters_expr, expand_synonyms, validate_filters
 
 def _score_blocks(blocks: DataFrame, k1: float, b: float, avgdl: float,
                   single_term: bool = False,
-                  tombstones: tuple[tuple[int, int], ...] = ()) -> DataFrame:
+                  tombstones: tuple[tuple[int, int], ...] = (),
+                  fq_ids: DataFrame | None = None) -> DataFrame:
     """Decode blocks (term, n, doc_ids, tfs, dls, idf) -> (doc_id, score).
 
     ``single_term=True`` skips the per-doc sum: with one query term a doc
@@ -53,6 +54,14 @@ def _score_blocks(blocks: DataFrame, k1: float, b: float, avgdl: float,
     ``tombstones`` are deleted doc_id ranges (operators/maintenance.py);
     decoded postings falling inside are masked out here, so deleted docs
     can never score.
+
+    ``fq_ids`` (doc_id-only DataFrame) pushes the filter-query semijoin
+    BELOW the per-doc aggregate: with a 1%-selective fq the round-2 shape
+    (aggregate everything, semijoin after) wasted 99% of the agg's
+    shuffle+sum work. The semijoin shuffles on doc_id — the SAME key the
+    aggregate needs — so Catalyst reuses the exchange: no extra shuffle
+    of the exploded stream, strictly fewer rows aggregated. fq semantics
+    are unchanged (non-scoring, like Solr fq).
     """
     avgdl = avgdl if avgdl > 0 else 1.0
     ranges = [(int(lo), int(hi)) for lo, hi in tombstones]
@@ -82,6 +91,8 @@ def _score_blocks(blocks: DataFrame, k1: float, b: float, avgdl: float,
 
     exploded = blocks.select("n", "doc_ids", "tfs", "dls", "idf").mapInPandas(
         kernel, "doc_id long, contrib double")
+    if fq_ids is not None:
+        exploded = exploded.join(fq_ids, "doc_id", "left_semi")
     if single_term:
         return exploded.withColumnRenamed("contrib", "score")
     return exploded.groupBy("doc_id").agg(F.sum("contrib").alias("score"))
@@ -93,6 +104,40 @@ def search_blockmax(index: PhysicalIndex, text: str | None = None, k: int = 10,
                     synonyms: dict[str, list[str]] | None = None) -> DataFrame:
     """Top-k page over the physical index; result schema matches
     operators.query.search (doc_id, repo, path, lang, score)."""
+    page, _ = _blockmax(index, text, k, skip, filters, round_score, prune,
+                        synonyms, time_allowed_ms=None)
+    return page
+
+
+def search_budgeted(index: PhysicalIndex, text: str | None = None, k: int = 10,
+                    skip: int = 0, filters: dict[str, list[str]] | None = None,
+                    time_allowed_ms: float = 5000.0,
+                    round_score: int | None = 4,
+                    synonyms: dict[str, list[str]] | None = None,
+                    ) -> tuple[DataFrame, bool]:
+    """T3 `timeAllowed` analog (SearchServlet.scala:97 pins 5000 ms;
+    Solr's partialResults). Returns (page, partial).
+
+    Lucene's TimeLimitingCollector aborts a cursor walk mid-traversal;
+    Spark can't interrupt a running stage, so the budget gates the
+    PHASES of the block-max plan: the bucket-UB job and phase A (the
+    hot-bucket exact scoring that any answer needs) always run; if the
+    budget is exhausted before the completion pass (phase B over
+    remaining buckets with UB ≥ τ), it is skipped and ``partial=True``
+    — the page is then the exact top-k over the hot subset, exactly the
+    best-effort contract of Solr's partial results. A query that
+    completes within budget returns the normal exact answer and
+    ``partial=False``."""
+    return _blockmax(index, text, k, skip, filters, round_score, True,
+                     synonyms, time_allowed_ms=time_allowed_ms)
+
+
+def _blockmax(index: PhysicalIndex, text: str | None, k: int, skip: int,
+              filters, round_score: int | None, prune: bool, synonyms,
+              time_allowed_ms: float | None) -> tuple[DataFrame, bool]:
+    import time as _time
+
+    t_start = _time.perf_counter()
     cfg = index.config
     k = k if isinstance(k, int) and k >= 1 else 10
     skip = skip if isinstance(skip, int) and skip >= 0 else 0
@@ -102,12 +147,13 @@ def search_blockmax(index: PhysicalIndex, text: str | None = None, k: int = 10,
     if text is None:
         return (store.orderBy(F.col("doc_id").asc()).offset(skip).limit(k)
                 .withColumn("score", F.lit(1.0))
-                .select("doc_id", "repo", "path", "lang", "score"))
+                .select("doc_id", "repo", "path", "lang", "score")), False
 
-    terms = sorted(set(expand_synonyms(tokenize_py(text, cfg.stopwords), synonyms)))
+    terms = sorted(set(expand_synonyms(tokenize_py(text, cfg.stopwords),
+                                       synonyms, cfg.stopwords)))
     if not terms:
         return (index.docs_store.withColumn("score", F.lit(0.0))
-                .select("doc_id", "repo", "path", "lang", "score").limit(0))
+                .select("doc_id", "repo", "path", "lang", "score").limit(0)), False
 
     # tbucket = pmod(xxhash64(term), T) computed driver-side (pure-Python
     # XXH64, parity-tested vs the Spark expression) — zero Spark jobs for
@@ -126,12 +172,15 @@ def search_blockmax(index: PhysicalIndex, text: str | None = None, k: int = 10,
               .filter(F.col("tbucket").isin(tbuckets) & F.col("term").isin(terms))
               .join(F.broadcast(ts.select("term", "idf")), "term"))
 
+    # fq pushdown: the doc_id-only filtered-store projection semijoins the
+    # DECODED posting stream before the per-doc aggregate (_score_blocks) —
+    # scores are never computed for docs the fq excludes
+    fq_ids = store.select("doc_id") if filters else None
+
     def topk(scored: DataFrame) -> DataFrame:
         # cut FIRST on the narrow (doc_id, score) stream (TakeOrdered —
         # no global shuffle), join stored fields only for the k winners.
-        # fq filters must apply before the cut: semijoin on ids alone.
-        if filters:
-            scored = scored.join(store.select("doc_id"), "doc_id", "left_semi")
+        # fq was already applied below the aggregate (fq_ids).
         sc = F.round(F.col("score"), round_score) if round_score is not None else F.col("score")
         page = F.broadcast(
             scored.orderBy(F.col("score").desc(), F.col("doc_id").asc())
@@ -152,7 +201,8 @@ def search_blockmax(index: PhysicalIndex, text: str | None = None, k: int = 10,
         # one — below that the UB job is a pure extra round-trip (small
         # corpora / small indexes), so go straight to exhaustive scoring
         return topk(_score_blocks(blocks, cfg.k1, cfg.b, index.avgdl,
-                                  single_term=single, tombstones=tombs))
+                                  single_term=single, tombstones=tombs,
+                                  fq_ids=fq_ids)), False
 
     # bucket-level block-max pruning. One job decides coverage AND picks
     # the hot set: TakeOrdered of P+1 bucket bounds — if it returns ≤ P
@@ -169,24 +219,32 @@ def search_blockmax(index: PhysicalIndex, text: str | None = None, k: int = 10,
     if len(ub_rows) == 0:
         # no query term exists in the index
         return (index.docs_store.withColumn("score", F.lit(0.0))
-                .select("doc_id", "repo", "path", "lang", "score").limit(0))
+                .select("doc_id", "repo", "path", "lang", "score").limit(0)), False
     if len(ub_rows) <= p:
         return topk(_score_blocks(blocks, cfg.k1, cfg.b, index.avgdl,
-                                  single_term=single, tombstones=tombs))
+                                  single_term=single, tombstones=tombs,
+                                  fq_ids=fq_ids)), False
     hot = [r["bucket"] for r in ub_rows[:p]]
 
     blocks = blocks.persist()
     try:
+        # fq is already inside _score_blocks (below the aggregate), so
+        # phase A's stream — and hence tau — is fq-consistent by shape
         phase_a = _score_blocks(blocks.filter(F.col("bucket").isin(hot)),
                                 cfg.k1, cfg.b, index.avgdl, single_term=single,
-                                tombstones=tombs)
-        # tau from the narrow (doc_id, score) stream — stored fields are
-        # irrelevant to the threshold; fq filters enter via id-semijoin only
-        a_stream = (phase_a.join(store.select("doc_id"), "doc_id", "left_semi")
-                    if filters else phase_a)
-        a_rows = (a_stream.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+                                tombstones=tombs, fq_ids=fq_ids)
+        a_rows = (phase_a.orderBy(F.col("score").desc(), F.col("doc_id").asc())
                   .limit(k + skip).collect())
         tau = a_rows[-1]["score"] if len(a_rows) >= k + skip else float("-inf")
+        if (time_allowed_ms is not None
+                and (_time.perf_counter() - t_start) * 1000.0 > time_allowed_ms):
+            # budget exhausted before the completion pass (T3): return the
+            # exact top-k over the hot subset, flagged partial — phase A's
+            # page must be pinned locally before the persisted blocks are
+            # released by the finally below
+            rows = topk(phase_a).collect()
+            schema = "doc_id long, repo string, path string, lang string, score double"
+            return index.spark.createDataFrame(rows, schema), True
         # survivors stay distributed (no driver collect of bucket ids):
         # a doc's postings all live in its one bucket, so phases score
         # disjoint doc sets and a plain union is exact.
@@ -195,7 +253,110 @@ def search_blockmax(index: PhysicalIndex, text: str | None = None, k: int = 10,
         rest_df = ub.filter(~F.col("bucket").isin(hot) & (F.col("ub") >= tau)).select("bucket")
         phase_b = _score_blocks(blocks.join(rest_df, "bucket"),
                                 cfg.k1, cfg.b, index.avgdl, single_term=single,
-                                tombstones=tombs)
-        return topk(phase_a.unionByName(phase_b))
+                                tombstones=tombs, fq_ids=fq_ids)
+        return topk(phase_a.unionByName(phase_b)), False
     finally:
         blocks.unpersist()
+
+
+def search_with_found(index: PhysicalIndex, text: str | None = None,
+                      k: int = 10, skip: int = 0,
+                      filters: dict[str, list[str]] | None = None,
+                      round_score: int | None = 4,
+                      synonyms: dict[str, list[str]] | None = None,
+                      ) -> tuple[DataFrame, int]:
+    """(page, found) from ONE scoring traversal — the reference's envelope
+    ALWAYS carries numFound alongside the page (Solr.scala:91-103,
+    api.yml:181), and round 2 had no physical-path count at all.
+
+    Exact total-hit counting must visit every matched posting no matter
+    what (the same reason Lucene disables WAND skipping when an exact
+    totalHits is requested), so this path skips the UB job, scores
+    exhaustively ONCE, persists the narrow (doc_id, score) stream, and
+    derives BOTH the page (TakeOrderedAndProject) and the count from it.
+    The returned page is a small local DataFrame (k rows) — the persisted
+    stream is released before returning."""
+    cfg = index.config
+    k = k if isinstance(k, int) and k >= 1 else 10
+    skip = skip if isinstance(skip, int) and skip >= 0 else 0
+    validate_filters(filters, index.docs_store.columns)
+    store = index.docs_store.filter(_filters_expr(filters))
+    spark = index.spark
+
+    if text is None:
+        found = store.count()
+        page = (store.orderBy(F.col("doc_id").asc()).offset(skip).limit(k)
+                .withColumn("score", F.lit(1.0))
+                .select("doc_id", "repo", "path", "lang", "score"))
+        return page, found
+
+    terms = sorted(set(expand_synonyms(tokenize_py(text, cfg.stopwords),
+                                       synonyms, cfg.stopwords)))
+    empty = (index.docs_store.withColumn("score", F.lit(0.0))
+             .select("doc_id", "repo", "path", "lang", "score").limit(0))
+    if not terms:
+        return empty, 0
+
+    tbuckets = sorted({term_bucket(t, cfg.term_buckets) for t in terms})
+    n = float(index.n_docs)
+    ts = (index.termstats
+          .filter(F.col("tbucket").isin(tbuckets) & F.col("term").isin(terms))
+          .withColumn("idf", F.log(1.0 + (F.lit(n) - F.col("df") + 0.5)
+                                   / (F.col("df") + 0.5))))
+    blocks = (index.postings
+              .filter(F.col("tbucket").isin(tbuckets) & F.col("term").isin(terms))
+              .join(F.broadcast(ts.select("term", "idf")), "term"))
+    fq_ids = store.select("doc_id") if filters else None
+    scored = _score_blocks(blocks, cfg.k1, cfg.b, index.avgdl,
+                           single_term=len(terms) == 1,
+                           tombstones=index.tombstones,
+                           fq_ids=fq_ids).persist()
+    try:
+        found = scored.count()
+        if found == 0:
+            return empty, 0
+        sc = (F.round(F.col("score"), round_score)
+              if round_score is not None else F.col("score"))
+        page = F.broadcast(
+            scored.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+            .offset(skip).limit(k)
+            .select("doc_id", sc.alias("score")))
+        out = (page.join(index.docs_store.select("doc_id", "repo", "path", "lang"),
+                         "doc_id")
+               .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+               .select("doc_id", "repo", "path", "lang", "score"))
+        # pin the k winners locally so the persisted stream can be released
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema), found
+    finally:
+        scored.unpersist()
+
+
+def search_envelope_physical(index: PhysicalIndex, text: str | None = None,
+                             k: int = 10, skip: int = 0,
+                             filters: dict[str, list[str]] | None = None,
+                             synonyms: dict[str, list[str]] | None = None,
+                             time_allowed_ms: int = 5000) -> str:
+    """JSON envelope over the physical index, shaped like the reference
+    response incl. ``found`` and ``time_allowed`` (Solr.scala:91-103,
+    173-181 — time_allowed echoes the pinned 5000 ms budget,
+    SearchServlet.scala:97; api.yml:172-256) — one scoring pass
+    (search_with_found), not two. Exact `found` requires visiting every
+    match, so the count pass is never early-terminated (the same
+    trade-off Lucene makes for exact totalHits); `time_allowed` is
+    honored by the budgeted page path (search_budgeted) when a count is
+    not requested."""
+    import json
+
+    page, found = search_with_found(index, text, k, skip, filters,
+                                    synonyms=synonyms)
+    rows = page.collect()
+    items = [{"repo": r["repo"], "path": r["path"], "lang": r["lang"],
+              "score": r["score"]} for r in rows]
+    return json.dumps({
+        "summary": {"text": text if text is not None else "*",
+                    "skip": skip, "limit": k,
+                    "time_allowed": int(time_allowed_ms),
+                    "found": found, "returned": len(items)},
+        "fileitems": items,
+    })

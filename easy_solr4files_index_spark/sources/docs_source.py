@@ -52,25 +52,85 @@ def _acl_columns(doc_id_col: F.Column) -> dict[str, F.Column]:
             .when(m == 1, "RESTRICTED_REQUEST")
             .when(m.isin(2, 3), "KNOWN")
             .otherwise("ANONYMOUS")),
-        "date_available": F.expr(
-            "timestamp'2020-01-01' + make_interval(0, 0, 0, cast(doc_id % 3650 as int))"),
+        # built from doc_id_col (not a hardcoded column name) so callers
+        # may pass any id expression/rename without silently reading the
+        # wrong column
+        "date_available": (
+            F.lit("2020-01-01").cast("timestamp")
+            + F.make_interval(days=(doc_id_col % 3650).cast("int"))),
         "depositor": F.concat(F.lit("user"), (doc_id_col % 7).cast("string")),
     }
 
 
-def load_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def load_docs(spark: SparkSession, sf_dir: str,
+              with_acl: bool = True) -> DataFrame:
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    acl = _acl_columns(F.col("doc_id"))
-    return d.select(
+    cols = [
         F.col("source").alias("repo"),
         F.concat(F.lit("docs/"), F.lpad(F.col("doc_id").cast("string"), 8, "0"), F.lit(".txt")).alias("path"),
         F.rpad(F.md5(F.concat(F.col("source"), F.lit(":"), F.col("doc_id").cast("string"))), 40, "0").alias("commit"),
         F.col("lang"),
         F.coalesce(F.col("text"), F.lit("")).alias("content"),
-        acl["accessible_to"].alias("accessible_to"),
+    ]
+    if with_acl:
+        acl = _acl_columns(F.col("doc_id"))
+        cols += [
+            acl["accessible_to"].alias("accessible_to"),
+            acl["date_available"].alias("date_available"),
+            acl["depositor"].alias("depositor"),
+        ]
+    return d.select(*cols)
+
+
+def auth_info_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7 auth-info fetch modeled as a TABLE read — one row per file with
+    the easy-auth-info response fields (AuthorisationItem.scala:31-39:
+    itemId, owner, dateAvailable, accessibleTo, visibleTo, licenseKey,
+    licenseTitle). The reference fetches these per file over HTTP
+    (AuthorisationComponent.scala:41-51) — one round-trip per file, the
+    very pattern that caps its indexer at sequential throughput; the
+    Spark-native equivalent of that data dependency is a JOIN against
+    the auth service's exported table (see join_auth_info). Field values
+    are the same deterministic doc_id functions as _acl_columns, so
+    DuckDB oracles reproduce them exactly."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    acl = _acl_columns(F.col("doc_id"))
+    m = F.col("doc_id") % 10
+    return d.select(
+        # itemId = <bagId>/<filePath> (AuthorisationItem.scala:31;
+        # FileItem.scala:24 strips the prefix back off)
+        F.concat(F.col("source"), F.lit("/docs/"),
+                 F.lpad(F.col("doc_id").cast("string"), 8, "0"),
+                 F.lit(".txt")).alias("item_id"),
+        acl["depositor"].alias("owner"),
         acl["date_available"].alias("date_available"),
-        acl["depositor"].alias("depositor"),
+        acl["accessible_to"].alias("accessible_to"),
+        # visibleTo: NONE files are also invisible; everything else public
+        F.when(m == 0, "NONE").otherwise("ANONYMOUS").alias("visible_to"),
+        F.concat(F.lit("lic"), (F.col("doc_id") % 3).cast("string")).alias("license_key"),
+        F.concat(F.lit("License "), (F.col("doc_id") % 3).cast("string")).alias("license_title"),
     )
+
+
+def join_auth_info(docs: DataFrame, auth: DataFrame) -> DataFrame:
+    """J4 auth-info join at ingest: every file joins its AuthorisationItem
+    by item_id = repo/path (FileItem.scala:21-24); files whose
+    accessibleTo == NONE are dropped — the reference never submits them
+    (EasySolr4filesIndexApp.scala:131-137, `isAccessible` at
+    AuthorisationItem.scala:37-39). The joined owner/accessibleTo/
+    dateAvailable become the indexed access-control fields
+    (FileItem.scala:36-37), replacing the inline _acl_columns derivation.
+
+    Scale shape: an equi-join on the file key — co-partitionable with the
+    docs scan (both sides key by file identity), no driver round-trips;
+    at 100 TB this is a shuffle-or-broadcast join Catalyst plans by side
+    size, versus the reference's per-file HTTP fetch."""
+    keyed = docs.withColumn("item_id",
+                            F.concat(F.col("repo"), F.lit("/"), F.col("path")))
+    return (keyed.join(auth, "item_id")
+            .filter(F.col("accessible_to") != "NONE")
+            .withColumnRenamed("owner", "depositor")
+            .drop("item_id", "visible_to", "license_key", "license_title"))
 
 
 def ingest_acl_filter(docs: DataFrame) -> DataFrame:

@@ -187,3 +187,77 @@ def test_physical_matches_logical_on_testdata(spark, built):
         b = search(lidx, text, k=10, round_score=None).collect()
         assert [(r["doc_id"],) for r in a] == [(r["doc_id"],) for r in b]
         assert [r["score"] for r in a] == pytest.approx([r["score"] for r in b], rel=1e-12)
+
+
+@pytest.mark.parametrize("text,k,skip,filters", QUERIES)
+def test_search_with_found_page_and_count(built, text, k, skip, filters):
+    """Single-pass physical numFound: the page matches search_blockmax
+    and found matches the oracle's full match count (with fq applied)."""
+    from easy_solr4files_index_spark.operators.wand import search_with_found
+
+    pidx, _, oracle, _ = built
+    page, found = search_with_found(pidx, text, k=k, skip=skip,
+                                    filters=filters, round_score=None)
+    got = page.collect()
+    exp_page = search_blockmax(pidx, text, k=k, skip=skip, filters=filters,
+                               round_score=None).collect()
+    assert [(r["doc_id"], r["score"]) for r in got] == \
+        [(r["doc_id"], r["score"]) for r in exp_page], text
+    exp_all = oracle_search(oracle, text, k=10 ** 9, skip=0, filters=filters)
+    assert found == len(exp_all), text
+
+
+def test_search_envelope_physical_shape(built):
+    import json
+
+    from easy_solr4files_index_spark.operators.wand import (
+        search_envelope_physical)
+
+    pidx, *_ = built
+    env = json.loads(search_envelope_physical(pidx, "parse merge", k=5))
+    # reference summary shape: Solr.scala:91-103 / api.yml:172-256
+    assert set(env["summary"]) == {"text", "skip", "limit", "time_allowed",
+                                   "found", "returned"}
+    assert env["summary"]["found"] >= env["summary"]["returned"] == \
+        len(env["fileitems"]) == 5
+
+
+def test_search_budgeted_partial_and_complete(built_many_buckets):
+    """T3 timeAllowed (SearchServlet.scala:97): a zero budget skips the
+    completion pass and flags partial=True with the exact top-k over the
+    hot subset; an ample budget returns the normal exact answer with
+    partial=False."""
+    from easy_solr4files_index_spark.operators.wand import search_budgeted
+
+    pidx, oracle = built_many_buckets
+    text, k = "license merge", 4
+
+    full, partial = search_budgeted(pidx, text, k=k, time_allowed_ms=1e9,
+                                    round_score=None)
+    assert partial is False
+    exp = oracle_search(oracle, text, k=k, skip=0)
+    assert [r["doc_id"] for r in full.collect()] == [e["doc_id"] for e in exp]
+
+    page, partial = search_budgeted(pidx, text, k=k, time_allowed_ms=0.0,
+                                    round_score=None)
+    rows = page.collect()
+    assert partial is True
+    assert 0 < len(rows) <= k
+    # partial results are a SUBSET of real matches with exact scores
+    truth = {e["doc_id"]: e["score"] for e in
+             oracle_search(oracle, text, k=10 ** 9, skip=0)}
+    for r in rows:
+        assert r["doc_id"] in truth
+        assert r["score"] == pytest.approx(truth[r["doc_id"]], rel=1e-9)
+
+
+def test_search_budgeted_small_index_completes(built):
+    """Below the hot-set size the plan is exhaustive in one pass — the
+    budget can never split it, so partial is always False."""
+    from easy_solr4files_index_spark.operators.wand import search_budgeted
+
+    pidx, *_ = built
+    page, partial = search_budgeted(pidx, "parse", k=5, time_allowed_ms=0.0,
+                                    round_score=None)
+    assert partial is False
+    assert len(page.collect()) == 5
