@@ -240,6 +240,24 @@ def _q_topk_synonyms(spark: SparkSession, sf_dir: str) -> DataFrame:
                   synonyms={"join": ["merge"]})
 
 
+def _q_topk_synonyms_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5 MULTI-WORD synonym entries (SynonymGraphFilter `a => b c`,
+    schema.xml:520-525): the synonym string runs through the analyzer and
+    every resulting term joins the dismax disjunction."""
+    return search(_index(spark, sf_dir), "join", k=10,
+                  synonyms={"join": ["Table Scan"]})
+
+
+def _q_numfound_physical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """numFound over the PHYSICAL path, single scoring pass
+    (search_with_found — Solr always returns found, Solr.scala:91-103)."""
+    from easy_solr4files_index_spark.operators.wand import search_with_found
+
+    idx = _index_physical(spark, sf_dir)
+    _, found = search_with_found(idx, "spark join")
+    return spark.createDataFrame([(found,)], "found long")
+
+
 def _q_meta_date_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P4 date normalization to `yyyy-MM-ddT00:00:00Z` (DDM.scala:127-130)."""
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
@@ -315,6 +333,31 @@ def _q_ingest_acl(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P6: search over an index that never ingested accessible_to=NONE
     docs (EasySolr4filesIndexApp.scala:125-144)."""
     return search(_index_acl(spark, sf_dir), "table scan", k=10)
+
+
+def _index_authjoin(spark: SparkSession, sf_dir: str) -> FtsIndex:
+    """S7+J4: the corpus joined with the auth-info TABLE at ingest
+    (sources/docs_source.auth_info_table + join_auth_info) — the
+    Spark-native form of the reference's per-file auth-info HTTP fetch
+    (AuthorisationComponent.scala:41-51) feeding the accessibility gate
+    and the indexed access fields (FileItem.scala:36-37)."""
+    from easy_solr4files_index_spark.sources.docs_source import (
+        auth_info_table, join_auth_info)
+
+    key = (id(spark), sf_dir, "authjoin")
+    if key not in _INDEX_CACHE:
+        docs = join_auth_info(load_docs(spark, sf_dir, with_acl=False),
+                              auth_info_table(spark, sf_dir))
+        _INDEX_CACHE[key] = build_index(spark, docs)
+    return _INDEX_CACHE[key]
+
+
+def _q_auth_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4 + P10 end-to-end: index over the auth-info JOIN (NONE files
+    never ingested), queried with the authed access filter — the joined
+    owner/accessibleTo/dateAvailable columns are what the filter reads."""
+    return search(_index_authjoin(spark, sf_dir), "spark join", k=10,
+                  filters=access_filter("user3"))
 
 
 def _q_topk_nostop(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -397,6 +440,24 @@ def _q_ann_ivf_topk(spark, sf_dir):
     return similarity.ivf_topk(_emb(spark, sf_dir), [0, 1, 2], k=5, n_centroids=8)
 
 
+def _q_ann_ivf_materialized(spark, sf_dir):
+    """MATERIALIZED IVF (functions/ivf.py): corpus written once
+    partitioned by centroid_id; the query scans only probed cells
+    (PartitionFilters). nprobe=all == brute force — the oracle gate."""
+    import tempfile
+
+    from easy_solr4files_index_spark.functions import ivf
+
+    key = (id(spark), sf_dir, "ivf_mat")
+    if key not in _INDEX_CACHE:
+        d = tempfile.mkdtemp(prefix="ivf_entry_")
+        _INDEX_CACHE[key] = ivf.ivf_build(spark, _emb(spark, sf_dir), d,
+                                          n_centroids=8)
+    index = _INDEX_CACHE[key]
+    q = ivf.queries_from_emb(_emb(spark, sf_dir), [0, 1, 2])
+    return ivf.ivf_search(index, q, k=5, nprobe=8)
+
+
 def _q_ann_signlsh(spark, sf_dir):
     return similarity.signlsh_buckets(_emb(spark, sf_dir), n_planes=4)
 
@@ -431,6 +492,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "meta_vocab_join": _q_meta_vocab_join,
         "meta_vocab_join_abr": _q_meta_vocab_join_abr,
         "fts_topk_synonyms": _q_topk_synonyms,
+        "fts_topk_synonyms_phrase": _q_topk_synonyms_phrase,
+        "fts_numfound_physical": _q_numfound_physical,
         "meta_date_normalize": _q_meta_date_normalize,
         "meta_range_filter": _q_meta_range_filter,
         "scan_stores": _q_scan_stores,
@@ -442,6 +505,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fts_topk_access_anon": _q_access_anon,
         "fts_topk_access_authed": _q_access_authed,
         "fts_ingest_acl": _q_ingest_acl,
+        "fts_auth_join": _q_auth_join,
         "fts_topk_nostop": _q_topk_nostop,
         "dedup_exact_groups": _q_dedup_exact,
         "dedup_ngram_jaccard": _q_dedup_jaccard,
@@ -456,6 +520,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": _q_ann_cosine,
         "ann_ivf_assign": _q_ann_ivf,
         "ann_ivf_topk": _q_ann_ivf_topk,
+        "ann_ivf_mat_topk": _q_ann_ivf_materialized,
         "ann_signlsh_buckets": _q_ann_signlsh,
         "dedup_embedding": _q_dedup_embedding,
         "mm_decode_stub": _q_mm_decode,
@@ -498,6 +563,11 @@ def oracle_sql() -> dict[str, str]:
     # synonym expansion happens at query-parse time: the oracle scores the
     # EXPANDED disjunction, which is exactly what the engine must produce
     out["fts_topk_synonyms"] = osql.bm25_topk_sql(["join", "merge"], k=10)
+    # multi-word synonym: 'Table Scan' analyzes to (table, scan); the
+    # oracle scores the fully-expanded disjunction
+    out["fts_topk_synonyms_phrase"] = osql.bm25_topk_sql(
+        ["join", "table", "scan"], k=10)
+    out["fts_numfound_physical"] = osql.numfound_sql(tokenize_py("spark join"))
     out["meta_date_normalize"] = (
         "SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%dT00:00:00Z') AS date_available "
         "FROM orders WHERE o_orderkey <= 100")
@@ -526,6 +596,11 @@ def oracle_sql() -> dict[str, str]:
         tokenize_py("spark join"), k=10, filters=access_filter("user3"))
     out["fts_ingest_acl"] = osql.bm25_topk_sql(
         tokenize_py("table scan"), k=10, ingest_where="doc_id % 10 <> 0")
+    # J4: auth-join ingest drops NONE files; the authed access filter runs
+    # over the JOINED columns (same deterministic doc_id derivations)
+    out["fts_auth_join"] = osql.bm25_topk_sql(
+        tokenize_py("spark join"), k=10, ingest_where="doc_id % 10 <> 0",
+        filters=access_filter("user3"))
     out["fts_topk_nostop"] = osql.bm25_topk_sql(
         tokenize_py("the spark", ()), k=10, stopwords=())
     out["dedup_exact_groups"] = dedup.exact_dup_groups_sql()
@@ -543,6 +618,7 @@ def oracle_sql() -> dict[str, str]:
     # nprobe = n_centroids scans every cell => the brute-force oracle IS
     # the expected result (prune-exactness gate)
     out["ann_ivf_topk"] = similarity.cosine_topk_sql([0, 1, 2], k=5)
+    out["ann_ivf_mat_topk"] = similarity.cosine_topk_sql([0, 1, 2], k=5)
     out["ann_signlsh_buckets"] = similarity.signlsh_buckets_sql(n_planes=4)
     out["dedup_embedding"] = similarity.embedding_near_dups_sql(threshold=0.4)
     out["mm_decode_stub"] = multimodal.decode_features_sql()

@@ -168,23 +168,23 @@ def run_scaling(sf_dir: str, n_low: int | None = None, n_high: int | None = None
         f"materialize_scale_corpus(spark, {SCALE_N_DOCS}, {SCALE_CORPUS!r})\n"
         "spark.stop()\n")], check=True)
 
-    # Interleaved trials (N, 4N, N, 4N, ...), keep the per-level MIN build
-    # time: this hypervisor's throughput swings >2x between ten-minute
-    # windows (co-tenant contention), so adjacent same-window pairs plus a
-    # noise-robust statistic are required for a meaningful ratio.
+    # Interleaved trials with ALTERNATING leg order — trial 0 runs
+    # (4N, N), trial 1 runs (N, 4N), ... — keeping the per-level MIN:
+    # this hypervisor's throughput swings >2x between ten-minute windows
+    # (co-tenant contention) AND throttles sustained load (the leg that
+    # runs later in a session measures slower). A fixed order would park
+    # one level permanently in the penalized slot, biasing the efficiency
+    # ratio in whichever direction the order favors; alternation gives
+    # BOTH levels first-slot samples, so per-leg min sees each level
+    # unpenalized at least once (round-2 advice).
     # taskset pins the WHOLE process tree (JVM GC/netty threads + pyspark
     # daemon workers) to exactly N cores — plain local[N] only limits task
     # slots, letting the "small cluster" free-ride on idle host cores and
     # corrupting the ratio.
-    # n_high FIRST: this host throttles sustained load (burst-credit-like
-    # behavior — the level that runs later in a session measures slower),
-    # and the high-parallelism run is the one that needs full cores;
-    # observed 2026-08-17: five scripted (low, high) runs all had the
-    # local[8] leg 4-7x slower than back-to-back manual runs that put
-    # local[8] first
     trials: dict[int, list[dict]] = {n_low: [], n_high: []}
-    for _ in range(SCALE_TRIALS):
-        for cpus in (n_high, n_low):
+    for ti in range(max(SCALE_TRIALS, 2)):
+        order = (n_high, n_low) if ti % 2 == 0 else (n_low, n_high)
+        for cpus in order:
             cmd = [sys.executable, os.path.abspath(__file__), "--_scale-worker",
                    SCALE_CORPUS, str(cpus)]
             if shutil.which("taskset"):
@@ -299,5 +299,13 @@ if __name__ == "__main__":
         s = run_scaling(SF_DIR)
         write_scaling_report(s)
         print(json.dumps({k: v for k, v in s.items() if k != "results"}))
+    elif "--maintenance-curve" in sys.argv:
+        from easy_solr4files_index_spark.benchmark import (
+            run_maintenance_curve, write_maintenance_report)
+        m = run_maintenance_curve(CPUS)
+        write_maintenance_report(m)
+        with open("bench_maintenance.json", "w") as fh:
+            json.dump(m, fh, indent=2)
+        print(json.dumps(m))
     else:
         print(json.dumps(run_suite(SF_DIR, CPUS)))

