@@ -63,7 +63,8 @@ def test_envelope_shape(corpus):
     idx, _ = corpus
     env = json.loads(search_envelope(idx, "parse", k=3))
     assert set(env) == {"summary", "fileitems"}
-    assert set(env["summary"]) == {"text", "skip", "limit", "found", "returned"}
+    assert set(env["summary"]) == {"text", "skip", "limit", "found", "returned",
+                                "time_allowed"}  # Solr.scala:97 echoes timeAllowed
     assert env["summary"]["returned"] == len(env["fileitems"]) <= 3
     assert env["summary"]["found"] >= env["summary"]["returned"]
 
