@@ -248,6 +248,52 @@ def _q_topk_synonyms_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
                   synonyms={"join": ["Table Scan"]})
 
 
+def _q_topk_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q9 dismax phrase clause: quoted text is a positional PhraseQuery
+    (tf = exact phrase frequency, idf = Σ over the phrase's terms —
+    Lucene BM25 phrase scoring). Reachable surface: SearchServlet.scala
+    :79-88 passes user text unescaped into dismax, which keeps balanced
+    quotes as operators."""
+    return search(_index(spark, sf_dir), '"spark join" merge', k=10)
+
+
+def _q_topk_must(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q10 dismax `+` operator: required clause (Lucene MUST) — docs
+    lacking 'spark' never match, 'join' stays optional scoring."""
+    return search(_index(spark, sf_dir), "+spark join", k=10)
+
+
+def _q_topk_prohibit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q10 dismax `-` operator: prohibited clause (Lucene MUST_NOT) —
+    docs containing 'join' are excluded outright."""
+    return search(_index(spark, sf_dir), "spark -join", k=10)
+
+
+def _q_topk_boolean_mixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q9+Q10 composed: required phrase + optional term + prohibited term
+    in one dismax query."""
+    return search(_index(spark, sf_dir), '+"spark join" merge -parse', k=10)
+
+
+def _q_numfound_boolean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """numFound for a boolean/phrase query (the matched-set count the
+    envelope always carries)."""
+    from easy_solr4files_index_spark.operators.query import num_found
+
+    found = num_found(_index(spark, sf_dir), '+"spark join" merge -parse')
+    return spark.createDataFrame([(found,)], "found long")
+
+
+def _q_phrase_physical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q9 over the PHYSICAL index: the positions/ dataset (term-bucket
+    partition-pruned, Lucene .prx analog) scores the phrase; same oracle
+    as the logical path."""
+    from easy_solr4files_index_spark.operators.wand import search_blockmax
+
+    return search_blockmax(_index_physical(spark, sf_dir),
+                           '+"spark join" merge -parse', k=10)
+
+
 def _q_numfound_physical(spark: SparkSession, sf_dir: str) -> DataFrame:
     """numFound over the PHYSICAL path, single scoring pass
     (search_with_found — Solr always returns found, Solr.scala:91-103)."""
@@ -494,6 +540,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fts_topk_synonyms": _q_topk_synonyms,
         "fts_topk_synonyms_phrase": _q_topk_synonyms_phrase,
         "fts_numfound_physical": _q_numfound_physical,
+        "fts_topk_phrase": _q_topk_phrase,
+        "fts_topk_must": _q_topk_must,
+        "fts_topk_prohibit": _q_topk_prohibit,
+        "fts_topk_boolean_mixed": _q_topk_boolean_mixed,
+        "fts_numfound_boolean": _q_numfound_boolean,
+        "fts_phrase_physical": _q_phrase_physical,
         "meta_date_normalize": _q_meta_date_normalize,
         "meta_range_filter": _q_meta_range_filter,
         "scan_stores": _q_scan_stores,
@@ -568,6 +620,24 @@ def oracle_sql() -> dict[str, str]:
     out["fts_topk_synonyms_phrase"] = osql.bm25_topk_sql(
         ["join", "table", "scan"], k=10)
     out["fts_numfound_physical"] = osql.numfound_sql(tokenize_py("spark join"))
+    # boolean/phrase dismax (Q9/Q10): the oracle parses the SAME query
+    # string with the SAME parser, then recomputes phrase tf from the
+    # ordered token list (DuckDB list lambdas) and applies the Lucene
+    # BooleanQuery match predicate in SQL
+    from easy_solr4files_index_spark.operators.dismax import parse_dismax
+
+    def _cl(text: str):
+        return [(c.terms, c.occur) for c in parse_dismax(text)]
+
+    out["fts_topk_phrase"] = osql.boolean_topk_sql(_cl('"spark join" merge'), k=10)
+    out["fts_topk_must"] = osql.boolean_topk_sql(_cl("+spark join"), k=10)
+    out["fts_topk_prohibit"] = osql.boolean_topk_sql(_cl("spark -join"), k=10)
+    out["fts_topk_boolean_mixed"] = osql.boolean_topk_sql(
+        _cl('+"spark join" merge -parse'), k=10)
+    out["fts_numfound_boolean"] = osql.boolean_numfound_sql(
+        _cl('+"spark join" merge -parse'))
+    out["fts_phrase_physical"] = osql.boolean_topk_sql(
+        _cl('+"spark join" merge -parse'), k=10)
     out["meta_date_normalize"] = (
         "SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%dT00:00:00Z') AS date_available "
         "FROM orders WHERE o_orderkey <= 100")

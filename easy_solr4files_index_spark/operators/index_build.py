@@ -42,6 +42,10 @@ class IndexConfig:
     use_arrow_tokenizer: bool = False  # pandas-UDF chain instead of codegen exprs
     bucket_span: int = 4096            # doc_ids per posting block bucket (physical index)
     term_buckets: int = 32             # hash-partition count of the physical index
+    index_positions: bool = True       # write the positions/ dataset (phrase
+                                       # queries); Lucene always indexes
+                                       # positions for text fields — disable
+                                       # only for term-only workloads
 
 
 @dataclass
@@ -55,6 +59,8 @@ class FtsIndex:
     avgdl: float
     postings: DataFrame | None = None  # physical encoded blocks (see postings.py)
     cached: DataFrame | None = None    # the persisted enriched docs (tokens+dl)
+    positions: DataFrame | None = None  # (term, doc_id, dl, positions) — lazy
+                                        # plan, executed only by phrase queries
 
     def unpersist(self) -> None:
         for df in (self.docs_store, self.tf, self.cached):
@@ -125,6 +131,17 @@ def build_index(spark: SparkSession, docs: DataFrame, config: IndexConfig | None
 
     termstats = tf.groupBy("term").agg(F.count("*").alias("df"))
 
+    # positional postings for phrase queries (operators/dismax.py) — a
+    # pure plan over the same enriched cache, so it costs nothing unless
+    # a phrase clause actually runs. Positions index the stopword-
+    # filtered stream (see dismax.py parity notes). sort_array: the
+    # collect_list order after a shuffle is not contractual.
+    positions = (
+        enriched.select("doc_id", "dl", F.posexplode("tokens").alias("pos", "term"))
+        .groupBy("term", "doc_id", "dl")
+        .agg(F.sort_array(F.collect_list("pos")).alias("positions"))
+    )
+
     g = docs_store.agg(
         F.count("*").alias("n"), F.avg("dl").alias("avgdl")
     ).collect()[0]
@@ -137,4 +154,4 @@ def build_index(spark: SparkSession, docs: DataFrame, config: IndexConfig | None
 
     return FtsIndex(spark=spark, config=config, docs_store=docs_store, tf=tf,
                     termstats=termstats, n_docs=n_docs, avgdl=avgdl,
-                    cached=enriched if persist else None)
+                    cached=enriched if persist else None, positions=positions)

@@ -248,7 +248,8 @@ def delete_where_physical(spark: SparkSession, index_dir: str,
                         meta["avgdl"],
                         min_encode_avgdl=meta["min_encode_avgdl"],
                         tombstones=tombs, n_buckets=idx.n_buckets,
-                        generation=idx.generation)
+                        generation=idx.generation,
+                        has_positions=idx.has_positions)
     if auto_compact and _should_compact(out):
         return compact_index(spark, index_dir)
     return out
@@ -309,6 +310,18 @@ def append_docs_physical(spark: SparkSession, index_dir: str,
          .write.mode("append").partitionBy("tbucket")
          .parquet(idx.path_of("_termstats_delta")))
         tf.unpersist()
+        if meta.get("index_positions"):
+            # positional rows for the new segment — pure file append,
+            # same tbucket layout as the base (phrase queries see the
+            # union automatically)
+            pos = (enriched.select("doc_id", "dl",
+                                   F.posexplode("tokens").alias("pos", "term"))
+                   .groupBy("term", "doc_id", "dl")
+                   .agg(F.sort_array(F.collect_list("pos")).alias("positions"))
+                   .withColumn("tbucket", _tbucket(F.col("term"), cfg.term_buckets)))
+            (pos.repartition(cfg.term_buckets, F.col("tbucket"))
+             .write.mode("append").partitionBy("tbucket")
+             .parquet(idx.path_of("positions")))
     finally:
         enriched.unpersist()
         release_docid_cache(with_ids)
@@ -331,7 +344,8 @@ def append_docs_physical(spark: SparkSession, index_dir: str,
                          min_encode_avgdl=meta["min_encode_avgdl"],
                          tombstones=idx.tombstones,
                          n_buckets=meta["next_base"] // cfg.bucket_span,
-                         generation=idx.generation)
+                         generation=idx.generation,
+                         has_positions=idx.has_positions)
 
 
 def upsert_repos_physical(spark: SparkSession, index_dir: str,
@@ -407,14 +421,20 @@ def compact_index(spark: SparkSession, index_dir: str) -> PhysicalIndex:
     new_docs = os.path.join(index_dir, gen_name("docs_store", new_gen))
     idx.docs_store.write.mode("overwrite").parquet(new_docs)  # tombstones filtered
 
+    if idx.has_positions:
+        new_pos = os.path.join(index_dir, gen_name("positions", new_gen))
+        (idx.positions  # property masks tombstoned doc rows
+         .repartition(cfg.term_buckets, F.col("tbucket"))
+         .write.mode("overwrite").partitionBy("tbucket").parquet(new_pos))
+
     meta["generation"] = new_gen
     meta["min_encode_avgdl"] = meta["avgdl"]
     _write_globals(index_dir, meta)  # THE commit point (atomic os.replace)
 
     # post-commit cleanup: the old generation + its sidecars are no longer
     # referenced by any reader that re-opens; removal is best-effort
-    for name in ("postings", "termstats", "docs_store",
-                 "_tombstones", "_termstats_delta"):
+    from .postings import GEN_SWAPPED
+    for name in GEN_SWAPPED:
         shutil.rmtree(os.path.join(index_dir, gen_name(name, gen)),
                       ignore_errors=True)
     _append_lineage(spark, index_dir, "compact", 0,

@@ -66,7 +66,7 @@ def _tbucket(col, buckets: int):
 
 # directories compact_index swaps per generation; _lineage/_metrics are
 # append-only logs shared across generations
-GEN_SWAPPED = ("postings", "termstats", "docs_store",
+GEN_SWAPPED = ("postings", "termstats", "docs_store", "positions",
                "_tombstones", "_termstats_delta")
 
 
@@ -346,6 +346,34 @@ def write_index(spark: SparkSession, docs: DataFrame, index_dir: str,
             raise RuntimeError(f"injected failure after postings group {gi}")
 
     tfb.unpersist()
+
+    # positional postings (phrase queries, operators/dismax.py): rows of
+    # (term, doc_id, dl, positions) partitioned by the SAME tbucket hash
+    # as the blocks, so a phrase query's positions scan prunes to one
+    # directory per phrase term (PartitionFilters, like the tf lookup).
+    # Lucene's .prx analog; written from the still-persisted enriched
+    # cache (tokenization never reruns). Positions index the stopword-
+    # filtered stream (dismax.py parity notes).
+    t0 = time.time()
+    if not config.index_positions:
+        pass
+    elif ("positions", 0) in done:
+        skipped.append("positions")
+    else:
+        pos = (
+            enriched.select("doc_id", "dl",
+                            F.posexplode("tokens").alias("pos", "term"))
+            .groupBy("term", "doc_id", "dl")
+            .agg(F.sort_array(F.collect_list("pos")).alias("positions"))
+            .withColumn("tbucket", _tbucket(F.col("term"), config.term_buckets))
+        )
+        (pos.repartition(config.term_buckets, F.col("tbucket"))
+         .write.mode("overwrite").partitionBy("tbucket")
+         .parquet(os.path.join(index_dir, "positions")))
+        _append_lineage(spark, index_dir, "positions", 0, fingerprint, "done", t0)
+        run.append("positions")
+    _mark("positions written")
+
     enriched.unpersist()
     release_docid_cache(with_ids)
 
@@ -373,6 +401,7 @@ def write_index(spark: SparkSession, docs: DataFrame, index_dir: str,
             "term_buckets": config.term_buckets,
             "stopwords": list(config.stopwords),
             "include_path_tokens": config.include_path_tokens,
+            "index_positions": config.index_positions,
             # incremental-maintenance state (operators/maintenance.py):
             # smallest avgdl any stored max_tfnorm was encoded with (query-
             # side UB inflation keeps pruning safe after avgdl drifts), and
@@ -407,6 +436,7 @@ class PhysicalIndex:
     tombstones: tuple[tuple[int, int], ...] = ()
     n_buckets: int = 0  # upper bound on distinct doc-range bucket ids
     generation: int = 0  # compact_index swap counter (see gen_name)
+    has_positions: bool = False  # positions/ dataset present (phrase queries)
 
     def __post_init__(self) -> None:
         # memoized logical plans: spark.read.parquet re-lists files and
@@ -440,6 +470,20 @@ class PhysicalIndex:
         return self._read("postings")
 
     @property
+    def positions(self) -> DataFrame:
+        """(term, doc_id, dl, positions, tbucket) — phrase-query data,
+        tombstone-masked like docs_store. Raises if the index was built
+        with ``index_positions=False``."""
+        if not self.has_positions:
+            raise ValueError(
+                "index was built without positions (index_positions=False); "
+                "phrase queries need a rebuild with positions enabled")
+        df = self._read("positions")
+        if self.tombstones:
+            df = df.filter(self._not_tombstoned())
+        return df
+
+    @property
     def termstats(self) -> DataFrame:
         """Base df counts merged with incremental deltas (delete: negative,
         append: positive). The union+agg keeps term/tbucket filters
@@ -469,7 +513,8 @@ def open_index(spark: SparkSession, index_dir: str) -> PhysicalIndex:
                          stopwords=tuple(meta["stopwords"]),
                          include_path_tokens=meta["include_path_tokens"],
                          bucket_span=meta["bucket_span"],
-                         term_buckets=meta["term_buckets"])
+                         term_buckets=meta["term_buckets"],
+                         index_positions=bool(meta.get("index_positions", False)))
     generation = int(meta.get("generation", 0))
     tomb_path = os.path.join(index_dir, gen_name("_tombstones", generation))
     tombstones: tuple[tuple[int, int], ...] = ()
@@ -484,7 +529,8 @@ def open_index(spark: SparkSession, index_dir: str) -> PhysicalIndex:
                          min_encode_avgdl=meta.get("min_encode_avgdl", meta["avgdl"]),
                          tombstones=tombstones,
                          n_buckets=next_base // meta["bucket_span"],
-                         generation=generation)
+                         generation=generation,
+                         has_positions=bool(meta.get("index_positions", False)))
 
 
 def merge_ranges(ranges) -> tuple[tuple[int, int], ...]:

@@ -163,6 +163,151 @@ def score_terms(index: FtsIndex, terms: list[str],
     return cand.groupBy("doc_id").agg(F.sum(contrib).alias("score"))
 
 
+def _tfnorm(tf_col: F.Column, dl_col: F.Column, k1: float, b: float,
+            avgdl: float) -> F.Column:
+    avgdl = avgdl if avgdl > 0 else 1.0
+    return (tf_col * (k1 + 1.0)
+            / (tf_col + k1 * (1.0 - b + b * dl_col / F.lit(avgdl))))
+
+
+def _phrase_tf(pmap: F.Column, phrase: tuple[str, ...]) -> F.Column:
+    """Exact phrase frequency from per-term position arrays: the count of
+    start positions x (of the first term) such that term_i sits at x+i
+    for every following i — Lucene's ExactPhraseMatcher, as one Catalyst
+    array expression (no Python)."""
+    def ok(x):
+        cond = F.lit(True)
+        for i, t in enumerate(phrase[1:], start=1):
+            cond = cond & F.array_contains(
+                F.coalesce(F.element_at(pmap, F.lit(t)), F.array().cast("array<int>")),
+                x + i)
+        return cond
+    first = F.coalesce(F.element_at(pmap, F.lit(phrase[0])),
+                       F.array().cast("array<int>"))
+    return F.size(F.filter(first, ok))
+
+
+def score_phrase(positions: DataFrame, termstats_idf: DataFrame,
+                 phrase: tuple[str, ...], k1: float, b: float,
+                 avgdl: float) -> DataFrame:
+    """(doc_id, contrib) for docs containing the exact phrase.
+
+    Scoring is Lucene's PhraseQuery under BM25Similarity: tf = phrase
+    frequency; idf = Σ over the phrase's term SEQUENCE of idf(term)
+    (BM25Similarity.idfExplain over the termStats array — duplicates in
+    the phrase count twice).
+
+    Plan shape: the positions scan is pruned to the phrase's unique
+    terms (term-bucket partition pruning on the physical layout); one
+    groupBy(doc_id) assembles the per-doc term→positions map, the
+    candidate cut ``n_terms == |unique|`` runs before the (Catalyst-only)
+    position-intersection, and the summed idf joins in as a broadcast
+    1-row aggregate — no driver round-trip."""
+    from collections import Counter
+
+    uniq = sorted(set(phrase))
+    mult = Counter(phrase)
+    pos = positions.filter(F.col("term").isin(uniq))
+    per_doc = (
+        pos.groupBy("doc_id", "dl")
+        .agg(F.map_from_entries(
+                F.collect_list(F.struct("term", "positions"))).alias("pmap"),
+             F.count("*").alias("nt"))
+        .filter(F.col("nt") == len(uniq))
+        .withColumn("ptf", _phrase_tf(F.col("pmap"), phrase))
+        .filter(F.col("ptf") > 0)
+    )
+    mult_expr = F.lit(None).cast("double")
+    for t, c in mult.items():
+        mult_expr = F.when(F.col("term") == t, float(c)).otherwise(mult_expr)
+    phidf = (termstats_idf.filter(F.col("term").isin(uniq))
+             .agg(F.sum(F.col("idf") * mult_expr).alias("phidf")))
+    return (per_doc.crossJoin(F.broadcast(phidf))
+            .select("doc_id",
+                    (F.col("phidf") * _tfnorm(F.col("ptf"), F.col("dl"),
+                                              k1, b, avgdl)).alias("contrib")))
+
+
+def score_boolean(index: FtsIndex, clauses, fq_ids: DataFrame | None = None,
+                  ) -> DataFrame:
+    """(doc_id, score) for a dismax boolean query (operators/dismax.py):
+    SHOULD / MUST (+) / MUST_NOT (-) clauses, term or phrase.
+
+    Lucene BooleanQuery semantics: a doc matches iff it satisfies every
+    MUST clause, matches no MUST_NOT clause, and — when there is no MUST
+    clause — matches at least one SHOULD clause. Score = Σ BM25
+    contributions of the matched MUST+SHOULD clauses.
+
+    Plan shape: ONE union of per-clause (doc_id, cid, kind, contrib)
+    streams feeding ONE hash aggregate on doc_id that computes the score
+    and the match predicate together (conditional aggregates) — clause
+    count never multiplies the shuffle count. A pure-negative query
+    returns empty (Lucene's MatchNoDocsQuery)."""
+    from .dismax import MUST, MUST_NOT, SHOULD  # noqa: F401 (kind literals)
+
+    k1, b = index.config.k1, index.config.b
+    avgdl = index.avgdl if index.avgdl > 0 else 1.0
+    n_must = sum(1 for c in clauses if c.occur == "must")
+    n_should = sum(1 for c in clauses if c.occur == "should")
+    if n_should + n_must == 0:
+        return (index.docs_store.select("doc_id")
+                .withColumn("score", F.lit(0.0)).limit(0))
+
+    term_clauses = [(i, c) for i, c in enumerate(clauses) if not c.is_phrase]
+    phrase_clauses = [(i, c) for i, c in enumerate(clauses) if c.is_phrase]
+    all_terms = sorted({t for _, c in term_clauses for t in c.terms}
+                       | {t for _, c in phrase_clauses for t in c.terms})
+    ts = (index.termstats.filter(F.col("term").isin(all_terms))
+          .withColumn("idf", _idf_expr(index.n_docs)))
+
+    parts: list[DataFrame] = []
+    if term_clauses:
+        cmap = index.spark.createDataFrame(
+            [(c.terms[0], i, c.occur) for i, c in term_clauses],
+            "term string, cid int, kind string")
+        cand = (index.tf
+                .filter(F.col("term").isin(sorted({c.terms[0] for _, c in term_clauses})))
+                .join(F.broadcast(ts.select("term", "idf")), "term")
+                .join(F.broadcast(cmap), "term"))
+        parts.append(cand.select(
+            "doc_id", "cid", "kind",
+            (F.col("idf") * _tfnorm(F.col("tf"), F.col("dl"), k1, b, avgdl)
+             ).alias("contrib")))
+    for i, c in phrase_clauses:
+        ph = score_phrase(index.positions, ts, c.terms, k1, b, avgdl)
+        parts.append(ph.select("doc_id", F.lit(i).alias("cid"),
+                               F.lit(c.occur).alias("kind"), "contrib"))
+
+    return combine_clause_rows(parts, n_must, fq_ids)
+
+
+def combine_clause_rows(parts: list[DataFrame], n_must: int,
+                        fq_ids: DataFrame | None = None) -> DataFrame:
+    """Union per-clause (doc_id, cid, kind, contrib) streams and apply the
+    Lucene BooleanQuery match predicate + score in ONE hash aggregate —
+    shared by the logical (score_boolean) and physical
+    (wand.search path) executions."""
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    if fq_ids is not None:
+        u = u.join(fq_ids, "doc_id", "left_semi")
+
+    agg = u.groupBy("doc_id").agg(
+        F.sum(F.when(F.col("kind") != "must_not", F.col("contrib"))
+              .otherwise(0.0)).alias("score"),
+        F.count_distinct(F.when(F.col("kind") == "must", F.col("cid")))
+        .alias("musts_hit"),
+        F.max(F.when(F.col("kind") == "should", 1).otherwise(0)).alias("has_should"),
+        F.max(F.when(F.col("kind") == "must_not", 1).otherwise(0)).alias("prohibited"),
+    )
+    matched = agg.filter(
+        (F.col("prohibited") == 0)
+        & (F.col("musts_hit") == n_must)
+        & (F.lit(n_must > 0) | (F.col("has_should") == 1)))
+    return matched.select("doc_id", "score")
+
+
 def expand_synonyms(terms: list[str],
                     synonyms: dict[str, list[str]] | None,
                     stopwords=None) -> list[str]:
@@ -187,6 +332,49 @@ def expand_synonyms(terms: list[str],
     return out
 
 
+def _expand_clause_synonyms(clauses, synonyms, stopwords):
+    """Synonym expansion in boolean mode: each single-term SHOULD clause
+    ORs its synonyms in as extra SHOULD clauses (same analyzer chain,
+    X5). MUST/MUST_NOT/phrase clauses are never expanded — widening a
+    required or prohibited clause would change its boolean meaning."""
+    from .dismax import SHOULD, Clause
+    if not synonyms:
+        return clauses
+    out = list(clauses)
+    seen = {(c.terms, c.occur) for c in clauses}
+    for c in clauses:
+        if c.occur != SHOULD or c.is_phrase:
+            continue
+        for s in synonyms.get(c.terms[0], ()):
+            for t in tokenize_py(s, stopwords):
+                key = ((t,), SHOULD)
+                if key not in seen:
+                    seen.add(key)
+                    out.append(Clause((t,), SHOULD))
+    return out
+
+
+def _scores_for(index: FtsIndex, text: str, synonyms,
+                fq_ids: DataFrame | None) -> DataFrame | None:
+    """Route a text query to the right scorer: the round-1/2 OR fast
+    path for a plain bag of terms (identical plan to before), the
+    boolean/phrase scorer otherwise. None = provably empty (no positive
+    clause survives analysis)."""
+    from .dismax import is_plain_or, parse_dismax, plain_terms
+
+    clauses = parse_dismax(text, index.config.stopwords)
+    if is_plain_or(clauses):
+        terms = expand_synonyms([c.terms[0] for c in clauses],
+                                synonyms, index.config.stopwords)
+        if not terms:
+            return None
+        return score_terms(index, terms, fq_ids=fq_ids)
+    clauses = _expand_clause_synonyms(clauses, synonyms, index.config.stopwords)
+    if not any(c.occur in ("should", "must") for c in clauses):
+        return None  # pure-negative query: MatchNoDocsQuery
+    return score_boolean(index, clauses, fq_ids=fq_ids)
+
+
 def search(index: FtsIndex, text: str | None = None, k: int = 10, skip: int = 0,
            filters: dict[str, list[str]] | None = None,
            round_score: int | None = 4,
@@ -209,20 +397,17 @@ def search(index: FtsIndex, text: str | None = None, k: int = 10, skip: int = 0,
         )
         return page.select("doc_id", *RESULT_COLS)
 
-    terms = expand_synonyms(tokenize_py(text, index.config.stopwords),
-                            synonyms, index.config.stopwords)
-    if not terms:
-        # all tokens stopworded out ⇒ empty result (dismax with no clauses)
-        return (index.docs_store.withColumn("score", F.lit(0.0))
-                .select("doc_id", *RESULT_COLS).limit(0))
-
     # fq semantics = semijoin on ids BELOW the scoring aggregate
     # (non-scoring filters, like Solr fq — see score_terms); the cut runs
     # on the narrow (doc_id, score) stream (TakeOrderedAndProject — no
     # full-store shuffle), and only the k winners are joined back for
     # stored fields (tiny side broadcast).
-    scores = score_terms(index, terms,
+    scores = _scores_for(index, text, synonyms,
                          fq_ids=store.select("doc_id") if filters else None)
+    if scores is None:
+        # no positive clause survives analysis ⇒ empty (dismax no-clause)
+        return (index.docs_store.withColumn("score", F.lit(0.0))
+                .select("doc_id", *RESULT_COLS).limit(0))
     score_col = F.round(F.col("score"), round_score) if round_score is not None else F.col("score")
     page = F.broadcast(
         scores.orderBy(F.col("score").desc(), F.col("doc_id").asc())
@@ -238,14 +423,22 @@ def search(index: FtsIndex, text: str | None = None, k: int = 10, skip: int = 0,
 def num_found(index: FtsIndex, text: str | None = None,
               filters: dict[str, list[str]] | None = None) -> int:
     """Exact total hit count (Solr numFound, Solr.scala:92-99)."""
+    from .dismax import is_plain_or, parse_dismax
+
     store = index.docs_store.filter(_filters_expr(filters))
     if text is None:
         return store.count()
-    terms = tokenize_py(text, index.config.stopwords)
-    if not terms:
-        return 0
-    matched = index.tf.filter(F.col("term").isin(sorted(set(terms)))).select("doc_id").distinct()
-    return matched.join(store, "doc_id").count()
+    clauses = parse_dismax(text, index.config.stopwords)
+    if is_plain_or(clauses):
+        terms = [c.terms[0] for c in clauses]
+        if not terms:
+            return 0
+        matched = (index.tf.filter(F.col("term").isin(sorted(set(terms))))
+                   .select("doc_id").distinct())
+        return matched.join(store, "doc_id").count()
+    scores = _scores_for(index, text, None,
+                         fq_ids=store.select("doc_id") if filters else None)
+    return scores.count() if scores is not None else 0
 
 
 def search_envelope(index: FtsIndex, text: str | None = None, k: int = 10, skip: int = 0,
@@ -267,14 +460,12 @@ def search_envelope(index: FtsIndex, text: str | None = None, k: int = 10, skip:
         rows = (store.orderBy(F.col("doc_id").asc()).offset(skip).limit(k)
                 .select("repo", "path", "lang").collect())
     else:
-        terms = expand_synonyms(tokenize_py(text, index.config.stopwords),
-                                None, index.config.stopwords)
-        if not terms:
+        scores = _scores_for(index, text, None,
+                             fq_ids=store.select("doc_id") if filters else None)
+        if scores is None:
             rows, found = [], 0
         else:
-            scores = score_terms(
-                index, terms,
-                fq_ids=store.select("doc_id") if filters else None).persist()
+            scores = scores.persist()
             try:
                 found = scores.count()
                 page = F.broadcast(

@@ -37,8 +37,11 @@ from pyspark.sql import DataFrame, functions as F
 from ..functions.codec import varbyte_decode
 from ..functions.tokenizer import tokenize_py
 from ..functions.xxhash import term_bucket
+from .dismax import is_plain_or, parse_dismax, plain_terms
 from .postings import PhysicalIndex
-from .query import _filters_expr, expand_synonyms, validate_filters
+from .query import (_expand_clause_synonyms, _filters_expr, _idf_expr,
+                    combine_clause_rows, expand_synonyms, score_phrase,
+                    validate_filters)
 
 
 def _score_blocks(blocks: DataFrame, k1: float, b: float, avgdl: float,
@@ -98,6 +101,94 @@ def _score_blocks(blocks: DataFrame, k1: float, b: float, avgdl: float,
     return exploded.groupBy("doc_id").agg(F.sum("contrib").alias("score"))
 
 
+def _term_clause_rows(blocks: DataFrame, cmap: DataFrame, k1: float, b: float,
+                      avgdl: float,
+                      tombstones: tuple[tuple[int, int], ...] = ()) -> DataFrame:
+    """Decode blocks to per-clause rows (doc_id, cid, kind, contrib) for
+    the boolean combiner — like _score_blocks but each posting keeps its
+    term so the tiny clause map (term → cid/kind, broadcast) can tag it."""
+    avgdl = avgdl if avgdl > 0 else 1.0
+    ranges = [(int(lo), int(hi)) for lo, hi in tombstones]
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            o_term, o_ids, o_contrib = [], [], []
+            for row in pdf.itertuples(index=False):
+                n = row.n
+                ids = np.cumsum(varbyte_decode(row.doc_ids, n), dtype=np.uint64).astype(np.int64)
+                tfs = varbyte_decode(row.tfs, n).astype(np.float64)
+                dls = varbyte_decode(row.dls, n).astype(np.float64)
+                if ranges:
+                    keep = np.ones(ids.shape, dtype=bool)
+                    for lo, hi in ranges:
+                        keep &= ~((ids >= lo) & (ids <= hi))
+                    if not keep.all():
+                        ids, tfs, dls = ids[keep], tfs[keep], dls[keep]
+                    if ids.size == 0:
+                        continue
+                contrib = row.idf * tfs * (k1 + 1.0) / (tfs + k1 * (1.0 - b + b * dls / avgdl))
+                o_term.append(np.full(ids.shape, row.term, dtype=object))
+                o_ids.append(ids)
+                o_contrib.append(contrib)
+            if o_ids:
+                yield pd.DataFrame({"term": np.concatenate(o_term),
+                                    "doc_id": np.concatenate(o_ids),
+                                    "contrib": np.concatenate(o_contrib)})
+
+    decoded = blocks.select("term", "n", "doc_ids", "tfs", "dls", "idf").mapInPandas(
+        kernel, "term string, doc_id long, contrib double")
+    return (decoded.join(F.broadcast(cmap), "term")
+            .select("doc_id", "cid", "kind", "contrib"))
+
+
+def _score_boolean_physical(index: PhysicalIndex, clauses,
+                            fq_ids: DataFrame | None) -> DataFrame:
+    """(doc_id, score) for a boolean/phrase dismax query over the
+    physical index — exact scoring (no block-max pruning: a MUST/MUST_NOT
+    predicate or a positional phrase invalidates the per-term upper
+    bounds the bucket UB job relies on; Lucene likewise drops WAND for
+    boolean-with-prohibited and phrase scorers).
+
+    Scale shape: every scan below is pruned to the query's term buckets
+    (partition dirs) and terms (parquet row-group stats); phrase
+    positions come from the positions/ dataset, pruned the same way; the
+    clause tag map is a broadcast; the combiner is one hash aggregate on
+    doc_id (operators/query.combine_clause_rows)."""
+    cfg = index.config
+    n_must = sum(1 for c in clauses if c.occur == "must")
+    term_clauses = [(i, c) for i, c in enumerate(clauses) if not c.is_phrase]
+    phrase_clauses = [(i, c) for i, c in enumerate(clauses) if c.is_phrase]
+    all_terms = sorted({t for _, c in term_clauses for t in c.terms}
+                       | {t for _, c in phrase_clauses for t in c.terms})
+    tbuckets = sorted({term_bucket(t, cfg.term_buckets) for t in all_terms})
+    ts = (index.termstats
+          .filter(F.col("tbucket").isin(tbuckets) & F.col("term").isin(all_terms))
+          .withColumn("idf", _idf_expr(index.n_docs)))
+
+    parts: list[DataFrame] = []
+    if term_clauses:
+        qterms = sorted({c.terms[0] for _, c in term_clauses})
+        qtb = sorted({term_bucket(t, cfg.term_buckets) for t in qterms})
+        blocks = (index.postings
+                  .filter(F.col("tbucket").isin(qtb) & F.col("term").isin(qterms))
+                  .join(F.broadcast(ts.select("term", "idf")), "term"))
+        cmap = index.spark.createDataFrame(
+            [(c.terms[0], i, c.occur) for i, c in term_clauses],
+            "term string, cid int, kind string")
+        parts.append(_term_clause_rows(blocks, cmap, cfg.k1, cfg.b,
+                                       index.avgdl, index.tombstones))
+    if phrase_clauses:
+        pterms = sorted({t for _, c in phrase_clauses for t in c.terms})
+        ptb = sorted({term_bucket(t, cfg.term_buckets) for t in pterms})
+        pos = index.positions.filter(
+            F.col("tbucket").isin(ptb) & F.col("term").isin(pterms))
+        for i, c in phrase_clauses:
+            ph = score_phrase(pos, ts, c.terms, cfg.k1, cfg.b, index.avgdl)
+            parts.append(ph.select("doc_id", F.lit(i).alias("cid"),
+                                   F.lit(c.occur).alias("kind"), "contrib"))
+    return combine_clause_rows(parts, n_must, fq_ids)
+
+
 def search_blockmax(index: PhysicalIndex, text: str | None = None, k: int = 10,
                     skip: int = 0, filters: dict[str, list[str]] | None = None,
                     round_score: int | None = 4, prune: bool = True,
@@ -149,9 +240,11 @@ def _blockmax(index: PhysicalIndex, text: str | None, k: int, skip: int,
                 .withColumn("score", F.lit(1.0))
                 .select("doc_id", "repo", "path", "lang", "score")), False
 
-    terms = sorted(set(expand_synonyms(tokenize_py(text, cfg.stopwords),
-                                       synonyms, cfg.stopwords)))
-    if not terms:
+    clauses = _expand_clause_synonyms(parse_dismax(text, cfg.stopwords),
+                                      synonyms, cfg.stopwords)
+    boolean = not is_plain_or(clauses)
+    terms = sorted(set(plain_terms(clauses)))
+    if not boolean and not terms:
         return (index.docs_store.withColumn("score", F.lit(0.0))
                 .select("doc_id", "repo", "path", "lang", "score").limit(0)), False
 
@@ -189,6 +282,16 @@ def _blockmax(index: PhysicalIndex, text: str | None, k: int, skip: int,
         return (page.join(index.docs_store.select("doc_id", "repo", "path", "lang"), "doc_id")
                 .orderBy(F.col("score").desc(), F.col("doc_id").asc())
                 .select("doc_id", "repo", "path", "lang", "score"))
+
+    if boolean:
+        # +/-/phrase clauses: exact boolean scoring (block-max upper
+        # bounds don't survive MUST_NOT or positional predicates — Lucene
+        # likewise disables WAND there); scans stay term-pruned.
+        if not any(c.occur in ("should", "must") for c in clauses):
+            return (index.docs_store.withColumn("score", F.lit(0.0))
+                    .select("doc_id", "repo", "path", "lang", "score")
+                    .limit(0)), False
+        return topk(_score_boolean_physical(index, clauses, fq_ids)), False
 
     # with one query term a doc appears in exactly one block — safe to
     # skip the per-doc sum even if the term turns out to have no postings
@@ -290,27 +393,33 @@ def search_with_found(index: PhysicalIndex, text: str | None = None,
                 .select("doc_id", "repo", "path", "lang", "score"))
         return page, found
 
-    terms = sorted(set(expand_synonyms(tokenize_py(text, cfg.stopwords),
-                                       synonyms, cfg.stopwords)))
+    clauses = _expand_clause_synonyms(parse_dismax(text, cfg.stopwords),
+                                      synonyms, cfg.stopwords)
+    boolean = not is_plain_or(clauses)
+    terms = sorted(set(plain_terms(clauses)))
     empty = (index.docs_store.withColumn("score", F.lit(0.0))
              .select("doc_id", "repo", "path", "lang", "score").limit(0))
-    if not terms:
-        return empty, 0
-
-    tbuckets = sorted({term_bucket(t, cfg.term_buckets) for t in terms})
-    n = float(index.n_docs)
-    ts = (index.termstats
-          .filter(F.col("tbucket").isin(tbuckets) & F.col("term").isin(terms))
-          .withColumn("idf", F.log(1.0 + (F.lit(n) - F.col("df") + 0.5)
-                                   / (F.col("df") + 0.5))))
-    blocks = (index.postings
-              .filter(F.col("tbucket").isin(tbuckets) & F.col("term").isin(terms))
-              .join(F.broadcast(ts.select("term", "idf")), "term"))
     fq_ids = store.select("doc_id") if filters else None
-    scored = _score_blocks(blocks, cfg.k1, cfg.b, index.avgdl,
-                           single_term=len(terms) == 1,
-                           tombstones=index.tombstones,
-                           fq_ids=fq_ids).persist()
+    if boolean:
+        if not any(c.occur in ("should", "must") for c in clauses):
+            return empty, 0
+        scored = _score_boolean_physical(index, clauses, fq_ids).persist()
+    else:
+        if not terms:
+            return empty, 0
+        tbuckets = sorted({term_bucket(t, cfg.term_buckets) for t in terms})
+        n = float(index.n_docs)
+        ts = (index.termstats
+              .filter(F.col("tbucket").isin(tbuckets) & F.col("term").isin(terms))
+              .withColumn("idf", F.log(1.0 + (F.lit(n) - F.col("df") + 0.5)
+                                       / (F.col("df") + 0.5))))
+        blocks = (index.postings
+                  .filter(F.col("tbucket").isin(tbuckets) & F.col("term").isin(terms))
+                  .join(F.broadcast(ts.select("term", "idf")), "term"))
+        scored = _score_blocks(blocks, cfg.k1, cfg.b, index.avgdl,
+                               single_term=len(terms) == 1,
+                               tombstones=index.tombstones,
+                               fq_ids=fq_ids).persist()
     try:
         found = scored.count()
         if found == 0:

@@ -164,6 +164,108 @@ ORDER BY sc.repo, sc.path
 """
 
 
+def _tok_list_sql(stopwords: tuple[str, ...] = LUCENE_STOPWORDS) -> str:
+    """Ordered, stopword-filtered token LIST per doc (phrase queries need
+    positions, which the unnested ``tok`` CTE deliberately discards)."""
+    quoted = ", ".join(f"'{w}'" for w in stopwords)
+    guard = (f"t <> '' AND t NOT IN ({quoted})" if stopwords else "t <> ''")
+    tok = tokenize_duckdb_sql("content || ' ' || path")
+    return (f"tl AS (SELECT repo, path, "
+            f"list_filter({tok}, t -> {guard}) AS toks FROM docs)")
+
+
+def _phrase_ctes(j: int, phrase: tuple[str, ...]) -> str:
+    """Per-phrase CTEs: ``ph{j}`` = exact phrase frequency per doc (count
+    of start positions where every phrase term lines up — DuckDB lists
+    are 1-based); ``phidf{j}`` = Lucene PhraseQuery idf = Σ idf over the
+    phrase's term SEQUENCE (duplicates count per occurrence)."""
+    from collections import Counter
+
+    L = len(phrase)
+    align = " AND ".join(f"toks[i + {i}] = '{t}'" for i, t in enumerate(phrase))
+    mult = Counter(phrase)
+    case = " ".join(f"WHEN '{t}' THEN {c}" for t, c in mult.items())
+    uniq = ", ".join(f"'{t}'" for t in sorted(mult))
+    return f"""ph{j} AS (
+  SELECT repo, path,
+         len(list_filter(range(1, greatest(len(toks) - {L - 1}, 0) + 1),
+                         i -> {align})) AS ptf
+  FROM tl
+),
+phidf{j} AS (
+  SELECT sum(ln(1 + (g.n - dft.df + 0.5) / (dft.df + 0.5))
+             * CASE dft.term {case} END) AS idf
+  FROM dft CROSS JOIN g WHERE dft.term IN ({uniq})
+)"""
+
+
+def boolean_sql_parts(clauses) -> tuple[str, str, int]:
+    """(extra CTE block, matched-set CTE chain ending in ``m``, n_must)
+    for a dismax boolean query. ``clauses`` = [(terms tuple, occur)] with
+    occur in should/must/must_not — the SQL twin of
+    operators/query.score_boolean (one union, one grouped aggregate,
+    Lucene BooleanQuery match predicate)."""
+    phrase_idx = [(i, c) for i, (c, _) in enumerate(clauses) if len(c) >= 2]
+    ctes = [_tok_list_sql()] if phrase_idx else []
+    rows = []
+    for i, (terms, occur) in enumerate(clauses):
+        if len(terms) >= 2:
+            ctes.append(_phrase_ctes(i, terms))
+            rows.append(f"""  SELECT p.repo, p.path, {i} AS cid, '{occur}' AS kind,
+         pi.idf * p.ptf * ({K1} + 1.0)
+           / (p.ptf + {K1} * (1.0 - {B} + {B} * docl.dl / g.avgdl)) AS contrib
+  FROM ph{i} p JOIN docl USING (repo, path)
+  CROSS JOIN g CROSS JOIN phidf{i} pi
+  WHERE p.ptf > 0""")
+        else:
+            rows.append(f"""  SELECT tf.repo, tf.path, {i} AS cid, '{occur}' AS kind,
+         ln(1 + (g.n - dft.df + 0.5) / (dft.df + 0.5))
+           * tf.tf * ({K1} + 1.0)
+           / (tf.tf + {K1} * (1.0 - {B} + {B} * docl.dl / g.avgdl)) AS contrib
+  FROM tf JOIN dft USING (term) JOIN docl USING (repo, path) CROSS JOIN g
+  WHERE tf.term = '{terms[0]}'""")
+    n_must = sum(1 for _, occur in clauses if occur == "must")
+    must_gate = "TRUE" if n_must else "has_should = 1"
+    chain = f"""cl AS (
+{chr(10).join("  UNION ALL" + chr(10) + r if j else r for j, r in enumerate(rows))}
+),
+agg AS (
+  SELECT repo, path,
+         sum(CASE WHEN kind <> 'must_not' THEN contrib ELSE 0 END) AS score,
+         count(DISTINCT CASE WHEN kind = 'must' THEN cid END) AS musts_hit,
+         max(CASE WHEN kind = 'should' THEN 1 ELSE 0 END) AS has_should,
+         max(CASE WHEN kind = 'must_not' THEN 1 ELSE 0 END) AS prohibited
+  FROM cl GROUP BY 1, 2
+),
+m AS (SELECT * FROM agg
+      WHERE prohibited = 0 AND musts_hit = {n_must} AND {must_gate})"""
+    extra = (",\n" + ",\n".join(ctes)) if ctes else ""
+    return extra, chain, n_must
+
+
+def boolean_topk_sql(clauses, k: int = 10, skip: int = 0, filters=None) -> str:
+    """Top-k page for a boolean/phrase dismax query — engine column order."""
+    extra, chain, _ = boolean_sql_parts(clauses)
+    return f"""{PREFIX}{extra},
+{chain}
+SELECT docl.doc_id, m.repo, m.path, docl.lang, round(m.score, 4) AS score
+FROM m JOIN docl USING (repo, path)
+WHERE {_filters_where(filters)}
+ORDER BY m.score DESC, m.repo, m.path
+LIMIT {k} OFFSET {skip}
+"""
+
+
+def boolean_numfound_sql(clauses, filters=None) -> str:
+    extra, chain, _ = boolean_sql_parts(clauses)
+    return f"""{PREFIX}{extra},
+{chain}
+SELECT count(*) AS found
+FROM m JOIN docl USING (repo, path)
+WHERE {_filters_where(filters)}
+"""
+
+
 def matchall_sql(k: int = 10, skip: int = 0,
                  filters: dict[str, list[str]] | None = None) -> str:
     return f"""{PREFIX}

@@ -151,7 +151,7 @@ def test_metrics_and_lineage(built):
     assert m.filter("skew_factor >= 1.0").count() == m.count()
     stages = {(r["stage"], r["partition_id"]) for r in pidx.lineage.collect()}
     assert ("docs_store", 0) in stages and ("termstats", 0) in stages
-    assert {s for s, _ in stages} == {"docs_store", "termstats", "postings"}
+    assert {s for s, _ in stages} == {"docs_store", "termstats", "postings", "positions"}
 
 
 def test_kill_resume_identical(spark, tmp_path):
