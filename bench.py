@@ -118,22 +118,42 @@ def run_scale_worker(corpus_path: str, cpus: int) -> dict:
         spark.stop()
 
 
-def _cpu_calibration(n_low: int, n_high: int) -> dict:
+def _cpu_calibration(n_low: int, n_high: int, trials: int = 3) -> dict:
     """Raw-CPU scaling ceiling of this VM at the same core pair: the vCPUs
     are overcommitted (32 advertised, ~8-12 effective), so a Spark job can
-    never scale better than a plain process pool of spinners does."""
+    never scale better than a plain process pool of spinners does.
+
+    Methodology matches the Spark legs exactly: each level is pinned via
+    sched_setaffinity to cores 0..N-1 (the same set taskset gives the
+    Spark worker), trials alternate leg order, and the BEST throughput
+    per level is kept — an unpinned single-shot spinner run measured a
+    nonsensical 1.22 "efficiency" because the 2-proc leg was free to
+    migrate onto whatever cores the hypervisor had idle."""
     import multiprocessing as mp
 
     def tp(procs: int) -> float:
-        with mp.Pool(procs) as pool:
+        with mp.Pool(procs, initializer=_pin_to, initargs=(procs,)) as pool:
+            pool.map(_spin, [2_000_000] * procs)  # warm forks, unmeasured
             t0 = time.perf_counter()
             pool.map(_spin, [20_000_000] * procs)
             return procs / (time.perf_counter() - t0)
 
-    tp_low, tp_high = tp(n_low), tp(n_high)
+    best = {n_low: 0.0, n_high: 0.0}
+    for ti in range(max(trials, 2)):
+        order = (n_high, n_low) if ti % 2 == 0 else (n_low, n_high)
+        for procs in order:
+            best[procs] = max(best[procs], tp(procs))
+    tp_low, tp_high = best[n_low], best[n_high]
     return {"raw_tp": {str(n_low): round(tp_low, 2), str(n_high): round(tp_high, 2)},
             "raw_speedup": round(tp_high / tp_low, 3),
             "raw_efficiency": round(tp_high / (tp_low * n_high / n_low), 3)}
+
+
+def _pin_to(procs: int) -> None:
+    try:
+        os.sched_setaffinity(0, set(range(procs)))
+    except (AttributeError, OSError):
+        pass  # non-Linux: unpinned calibration, same as the Spark legs
 
 
 def _spin(n: int) -> None:

@@ -250,7 +250,12 @@ def write_maintenance_report(m: dict, path: str = "BENCH/MAINTENANCE.md") -> Non
         "\nRegenerate with `python bench.py --maintenance-curve` "
         f"(local[{m['cpus']}], deterministic 64-repo scale corpus; "
         "auto-compact off so each cell times exactly one op; delete bags "
-        "are disjoint from upsert bags).\n",
+        "are disjoint from upsert bags)."
+        + (f" Cells are per-cell minima over {m['trials']} independent "
+           "full runs (tools/merge_maintenance_runs.py) — this VM's "
+           "window-to-window throughput swings >2x, the same discipline "
+           "the scaling bench uses." if m.get("trials") else "")
+        + "\n",
         f"\n## Sweep 1 — cost vs bag size (corpus fixed at {largest} docs)\n",
         "\n| bag (repos) | files | % corpus | upsert (s) | delete (s) | "
         "upsert / full build |\n|---|---|---|---|---|---|\n",

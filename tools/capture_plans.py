@@ -98,6 +98,22 @@ def main() -> None:
                             filters={"lang": ["java"]})),
     ))
 
+    sections.append((
+        "Boolean/phrase dismax query over the physical index (round-3)",
+        "`search_blockmax(idx, '+\\\"spark join\\\" merge -parse', k=5)` — "
+        "required phrase + optional term + prohibited term.\n"
+        "Look for: the positions/ scan pruned by `PartitionFilters` on "
+        "`tbucket` and `PushedFilters: In(term, ...)` (the phrase reads "
+        "only its own terms' partition dirs — Lucene .prx analog, same "
+        "layout discipline as the postings scan above it); the clause "
+        "tag map joined as a `BroadcastHashJoin`; the phrase tf computed "
+        "as a Catalyst array expression (no Python in that branch); and "
+        "ONE `HashAggregate(keys=[doc_id])` computing the score and the "
+        "MUST/MUST_NOT match predicate together — clause count never "
+        "multiplies the shuffle count.",
+        fmt(search_blockmax(idx, '+"spark join" merge -parse', k=5)),
+    ))
+
     delta = (idx.postings
              .filter((F.col("bucket") >= 0) & (F.col("bucket") <= 0))
              .select("term", "tbucket", "n", "doc_ids"))
