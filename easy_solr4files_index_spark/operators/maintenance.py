@@ -294,16 +294,12 @@ def append_docs_physical(spark: SparkSession, index_dir: str,
         enriched.drop("tokens").write.mode("append").parquet(
             idx.path_of("docs_store"))
 
-        # one posexplode + one hash aggregate yields postings input,
-        # df delta AND positions (tf = size(positions)) — the exploded
-        # token stream shuffles once (same fold as write_index)
+        # the map-side positions kernel yields postings input, df delta
+        # AND positions in one pass — the segment's token stream is
+        # never exploded into a shuffle (same shape as write_index)
         if meta.get("index_positions"):
-            tf = (enriched.select("doc_id", "dl",
-                                  F.posexplode("tokens").alias("pos", "term"))
-                  .groupBy("term", "doc_id", "dl")
-                  .agg(F.sort_array(F.collect_list("pos")).alias("positions"))
-                  .withColumn("tf", F.size("positions").cast("long"))
-                  .persist())
+            from .postings import positions_rows
+            tf = positions_rows(enriched, cfg.term_buckets).persist()
         else:
             tf = (enriched.select("doc_id", "dl", F.explode("tokens").alias("term"))
                   .groupBy("term", "doc_id", "dl").agg(F.count("*").alias("tf"))
@@ -325,7 +321,9 @@ def append_docs_physical(spark: SparkSession, index_dir: str,
             # positional rows for the new segment — pure file append,
             # same tbucket layout as the base (phrase queries see the
             # union automatically)
-            pos = (tf.select("term", "doc_id", "dl", "positions")
+            # tf rides along as an explicit column (same schema as the
+            # base segment's positions/, which the build encodes from)
+            pos = (tf.select("term", "doc_id", "dl", "tf", "positions")
                    .withColumn("tbucket", _tbucket(F.col("term"), cfg.term_buckets)))
             (pos.repartition(cfg.term_buckets, F.col("tbucket"))
              .write.mode("append").partitionBy("tbucket")

@@ -64,6 +64,56 @@ def _tbucket(col, buckets: int):
     return F.pmod(F.xxhash64(col), F.lit(buckets)).cast("int")
 
 
+POSITIONS_SCHEMA = ("term string, doc_id long, dl long, tf long, "
+                    "positions array<int>")
+
+
+def _positions_kernel(batches):
+    """(doc_id, dl, tokens) batches → (term, doc_id, dl, tf, positions)
+    rows, entirely MAP-SIDE: the per-doc term→positions grouping is a
+    factorize + lexsort over the batch's flattened token stream (all
+    numpy), so building the positions dataset never shuffles one-row-per-
+    token data. The posexplode+collect_list formulation of the same
+    aggregate shuffled ~dl rows per doc and was the dominant build stage
+    (209s of a 245s 200k-doc build at 8 cores); this kernel plus a
+    direct partitionBy write removes both that shuffle and the layout
+    repartition."""
+    for pdf in batches:
+        toks = pdf["tokens"]
+        counts = np.fromiter(
+            (0 if t is None else len(t) for t in toks),
+            dtype=np.int64, count=len(pdf))
+        total = int(counts.sum())
+        if total == 0:
+            continue
+        flat_terms = np.concatenate(
+            [np.asarray(t, dtype=object) for t in toks if t is not None and len(t)])
+        doc_idx = np.repeat(np.arange(len(pdf)), counts)
+        starts = np.cumsum(counts) - counts
+        pos = (np.arange(total) - np.repeat(starts, counts)).astype(np.int32)
+        codes, uniques = pd.factorize(flat_terms)
+        order = np.lexsort((pos, codes, doc_idx))
+        d_s, c_s, p_s = doc_idx[order], codes[order], pos[order]
+        change = np.flatnonzero(np.concatenate(
+            ([True], (d_s[1:] != d_s[:-1]) | (c_s[1:] != c_s[:-1]))))
+        bounds = np.append(change, d_s.size)
+        yield pd.DataFrame({
+            "term": uniques[c_s[change]],
+            "doc_id": pdf["doc_id"].to_numpy(np.int64)[d_s[change]],
+            "dl": pdf["dl"].to_numpy(np.int64)[d_s[change]],
+            "tf": (bounds[1:] - bounds[:-1]).astype(np.int64),
+            "positions": np.split(p_s, bounds[1:-1]),
+        })
+
+
+def positions_rows(enriched: DataFrame, term_buckets: int) -> DataFrame:
+    """The positions dataset plan: map-side kernel + JVM-side tbucket
+    column (xxhash64 stays in Catalyst; no Python hashing)."""
+    return (enriched.select("doc_id", "dl", "tokens")
+            .mapInPandas(_positions_kernel, POSITIONS_SCHEMA)
+            .withColumn("tbucket", _tbucket(F.col("term"), term_buckets)))
+
+
 # directories compact_index swaps per generation; _lineage/_metrics are
 # append-only logs shared across generations
 GEN_SWAPPED = ("postings", "termstats", "docs_store", "positions",
@@ -274,29 +324,6 @@ def write_index(spark: SparkSession, docs: DataFrame, index_dir: str,
         run.append("docs_store")
     _mark("docs_store written")
 
-    # ONE pass over the exploded token stream produces BOTH postings
-    # input and positions: tf = size(positions) after a single
-    # posexplode + hash aggregate, instead of aggregating the exploded
-    # stream twice (the explode+shuffle is the build's dominant cost —
-    # folding the two passes measured ~25% off wall-clock at 200k docs).
-    # termstats is later DERIVED from the postings block metadata
-    # (df(term) = Σ n over that term's blocks), so nothing else consumes
-    # tf. NOTE the positions column must be projected away before the
-    # encoder's applyInPandas (Arrow would ship the arrays to Python).
-    if config.index_positions:
-        tf = (
-            enriched.select("doc_id", "dl",
-                            F.posexplode("tokens").alias("pos", "term"))
-            .groupBy("term", "doc_id", "dl")
-            .agg(F.sort_array(F.collect_list("pos")).alias("positions"))
-            .withColumn("tf", F.size("positions").cast("long"))
-        )
-    else:
-        tf = (
-            enriched.select("doc_id", "dl", F.explode("tokens").alias("term"))
-            .groupBy("term", "doc_id", "dl").agg(F.count("*").alias("tf"))
-        )
-
     if n_docs is None:
         g = spark.read.parquet(os.path.join(index_dir, "docs_store")).agg(
             F.count("*").alias("n"), F.avg("dl").alias("avgdl"),
@@ -304,22 +331,54 @@ def write_index(spark: SparkSession, docs: DataFrame, index_dir: str,
         n_docs, avgdl = g["n"] or 0, float(g["avgdl"] or 0.0)
         dl_sum = int(g["dl_sum"] or 0)
 
+    # With positions on (the Lucene-parity default), the positions
+    # dataset is written FIRST by the zero-shuffle map-side kernel
+    # (positions_rows: per-doc term→positions grouping in numpy, tf
+    # stored alongside, direct partitionBy write), and the postings
+    # encode then READS it back with parquet column pruning — the token
+    # stream is never exploded into a shuffle at all. This deliberately
+    # materializes through disk instead of .persist(): caching the
+    # (term, doc_id, positions) aggregate thrashed at high parallelism
+    # exactly like round 2's tf cache (measured: 200k-doc build 360s at
+    # local[2] but 423s at local[8] with the cached variant — negative
+    # scaling; the disk-backed layout restores it).
+    if config.index_positions:
+        t0 = time.time()
+        if ("positions", 0) in done:
+            skipped.append("positions")
+        else:
+            (positions_rows(enriched, config.term_buckets)
+             .write.mode("overwrite").partitionBy("tbucket")
+             .parquet(os.path.join(index_dir, "positions")))
+            _append_lineage(spark, index_dir, "positions", 0, fingerprint,
+                            "done", t0)
+            run.append("positions")
+        _mark("positions written")
+        tf = (spark.read.parquet(os.path.join(index_dir, "positions"))
+              .select("term", "doc_id", "dl", "tf", "tbucket"))
+        tfb = tf.withColumn(
+            "bucket", (F.col("doc_id") / config.bucket_span).cast("long"))
+    else:
+        tf = (
+            enriched.select("doc_id", "dl", F.explode("tokens").alias("term"))
+            .groupBy("term", "doc_id", "dl").agg(F.count("*").alias("tf"))
+        )
+        tfb = (
+            tf.withColumn("bucket",
+                          (F.col("doc_id") / config.bucket_span).cast("long"))
+            .withColumn("tbucket", _tbucket(F.col("term"), config.term_buckets))
+        )
+
     # postings, written group-by-group for per-partition lineage.
     # The tbucket filter is applied BEFORE the applyInPandas encode (it
     # cannot be pushed through an opaque UDF), so each group job encodes
-    # only its own share of tf.
-    tfb = (
-        tf.withColumn("bucket", (F.col("doc_id") / config.bucket_span).cast("long"))
-        .withColumn("tbucket", _tbucket(F.col("term"), config.term_buckets))
-    )
+    # only its own share of tf; positions-backed builds get it as
+    # partition pruning on the positions layout.
     encoder = _make_encoder(config.k1, config.b, avgdl)
     groups = min(lineage_groups, config.term_buckets)
-    if groups > 1 or config.index_positions:
-        # several group jobs AND the positions write re-scan this —
-        # persist once (serialized columnar cache; spilling beats
-        # recomputing the explode+agg). The columnar cache is
-        # column-pruned on read, so the encode path never touches the
-        # cached positions arrays.
+    if groups > 1 and not config.index_positions:
+        # several group jobs re-scan the aggregate — persist once
+        # (positions-backed builds re-read the pruned parquet instead)
         tfb = tfb.persist()
     per_group = (config.term_buckets + groups - 1) // groups
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
@@ -358,28 +417,6 @@ def write_index(spark: SparkSession, docs: DataFrame, index_dir: str,
             enriched.unpersist()
             release_docid_cache(with_ids)
             raise RuntimeError(f"injected failure after postings group {gi}")
-
-    # positional postings (phrase queries, operators/dismax.py): rows of
-    # (term, doc_id, dl, positions) partitioned by the SAME tbucket hash
-    # as the blocks, so a phrase query's positions scan prunes to one
-    # directory per phrase term (PartitionFilters, like the tf lookup).
-    # Lucene's .prx analog; a projection of the SAME cached aggregate the
-    # encoder consumed — the exploded token stream is never shuffled a
-    # second time. Positions index the stopword-filtered stream
-    # (dismax.py parity notes).
-    t0 = time.time()
-    if not config.index_positions:
-        pass
-    elif ("positions", 0) in done:
-        skipped.append("positions")
-    else:
-        pos = tfb.select("term", "doc_id", "dl", "positions", "tbucket")
-        (pos.repartition(config.term_buckets, F.col("tbucket"))
-         .write.mode("overwrite").partitionBy("tbucket")
-         .parquet(os.path.join(index_dir, "positions")))
-        _append_lineage(spark, index_dir, "positions", 0, fingerprint, "done", t0)
-        run.append("positions")
-    _mark("positions written")
 
     tfb.unpersist()
     enriched.unpersist()
@@ -479,9 +516,11 @@ class PhysicalIndex:
 
     @property
     def positions(self) -> DataFrame:
-        """(term, doc_id, dl, positions, tbucket) — phrase-query data,
-        tombstone-masked like docs_store. Raises if the index was built
-        with ``index_positions=False``."""
+        """(term, doc_id, dl, tf, positions, tbucket) — phrase-query data
+        (Lucene .prx analog, term-bucket partitioned like postings; the
+        build's encode pass also reads it, column-pruned to the scalar
+        columns), tombstone-masked like docs_store. Raises if the index
+        was built with ``index_positions=False``."""
         if not self.has_positions:
             raise ValueError(
                 "index was built without positions (index_positions=False); "

@@ -114,6 +114,26 @@ def main() -> None:
         fmt(search_blockmax(idx, '+"spark join" merge -parse', k=5)),
     ))
 
+    from easy_solr4files_index_spark.operators.docids import assign_doc_ids
+    from easy_solr4files_index_spark.operators.index_build import (
+        IndexConfig, enrich_docs)
+    from easy_solr4files_index_spark.operators.postings import positions_rows
+    enriched = enrich_docs(assign_doc_ids(load_docs(spark, "/root/testdata/sf0.001")),
+                           IndexConfig())
+    sections.append((
+        "Build-side positions dataset — zero-shuffle map kernel (round-3)",
+        "`positions_rows(enriched, term_buckets)` — the plan the physical "
+        "build writes `positions/` (and derives postings tf) from.\n"
+        "Look for: NO `Exchange` anywhere — the per-doc term→positions "
+        "grouping runs inside `MapInPandas` (a factorize+lexsort numpy "
+        "kernel, postings.py:_positions_kernel), and `tbucket` is a "
+        "Catalyst `xxhash64` projection on top. The posexplode + "
+        "collect_list formulation this replaced shuffled one row per "
+        "TOKEN (~dl × n_docs rows); this shuffles nothing — at 10^12 "
+        "docs the token stream never leaves the mapper.",
+        fmt(positions_rows(enriched, 32)),
+    ))
+
     delta = (idx.postings
              .filter((F.col("bucket") >= 0) & (F.col("bucket") <= 0))
              .select("term", "tbucket", "n", "doc_ids"))
