@@ -69,48 +69,66 @@ POSITIONS_SCHEMA = ("term string, doc_id long, dl long, tf long, "
 
 
 def _positions_kernel(batches):
-    """(doc_id, dl, tokens) batches → (term, doc_id, dl, tf, positions)
-    rows, entirely MAP-SIDE: the per-doc term→positions grouping is a
-    factorize + lexsort over the batch's flattened token stream (all
-    numpy), so building the positions dataset never shuffles one-row-per-
-    token data. The posexplode+collect_list formulation of the same
-    aggregate shuffled ~dl rows per doc and was the dominant build stage
-    (209s of a 245s 200k-doc build at 8 cores); this kernel plus a
-    direct partitionBy write removes both that shuffle and the layout
-    repartition."""
-    for pdf in batches:
-        toks = pdf["tokens"]
-        counts = np.fromiter(
-            (0 if t is None else len(t) for t in toks),
-            dtype=np.int64, count=len(pdf))
+    """(doc_id, dl, tokens) Arrow batches → (term, doc_id, dl, tf,
+    positions) rows, entirely MAP-SIDE: the per-doc term→positions
+    grouping never shuffles one-row-per-token data (the posexplode +
+    collect_list formulation of the same aggregate did, and was the
+    dominant build stage: 209s of a 245s 200k-doc build at 8 cores).
+
+    Everything stays in Arrow/numpy native code — no per-row Python
+    objects at any point:
+      * flatten + per-row lengths: pyarrow list_flatten/list_value_length
+        (C, handles null token lists)
+      * term → code: pyarrow dictionary_encode (C-speed factorize)
+      * grouping: ONE stable radix argsort on the composite int64 key
+        doc·n_codes+code — positions are already ascending per doc in
+        input order, so stability alone keeps each group's positions
+        sorted (replaces a 3-key lexsort; 12× less kernel CPU measured
+        at 200k docs, where the pandas/object formulation burned 357s of
+        Python CPU and capped build scaling at ~1.9× for 2→8 cores)
+      * output: the positions list column is built directly from
+        (values, offsets) — no np.split, no object column
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    for b in batches:
+        cols = {name: b.column(i) for i, name in enumerate(b.schema.names)}
+        la = cols["tokens"]
+        counts = pc.list_value_length(la).fill_null(0).to_numpy(
+            zero_copy_only=False).astype(np.int64)
         total = int(counts.sum())
         if total == 0:
             continue
-        flat_terms = np.concatenate(
-            [np.asarray(t, dtype=object) for t in toks if t is not None and len(t)])
-        doc_idx = np.repeat(np.arange(len(pdf)), counts)
+        denc = pc.dictionary_encode(pc.list_flatten(la))
+        codes = denc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        n_codes = len(denc.dictionary)
+        doc_idx = np.repeat(np.arange(len(b), dtype=np.int64), counts)
         starts = np.cumsum(counts) - counts
         pos = (np.arange(total) - np.repeat(starts, counts)).astype(np.int32)
-        codes, uniques = pd.factorize(flat_terms)
-        order = np.lexsort((pos, codes, doc_idx))
-        d_s, c_s, p_s = doc_idx[order], codes[order], pos[order]
-        change = np.flatnonzero(np.concatenate(
-            ([True], (d_s[1:] != d_s[:-1]) | (c_s[1:] != c_s[:-1]))))
-        bounds = np.append(change, d_s.size)
-        yield pd.DataFrame({
-            "term": uniques[c_s[change]],
-            "doc_id": pdf["doc_id"].to_numpy(np.int64)[d_s[change]],
-            "dl": pdf["dl"].to_numpy(np.int64)[d_s[change]],
-            "tf": (bounds[1:] - bounds[:-1]).astype(np.int64),
-            "positions": np.split(p_s, bounds[1:-1]),
-        })
+        key = doc_idx * n_codes + codes
+        order = np.argsort(key, kind="stable")
+        k_s = key[order]
+        change = np.flatnonzero(np.concatenate(([True], k_s[1:] != k_s[:-1])))
+        bounds = np.append(change, total)
+        first = order[change]
+        doc_np = cols["doc_id"].to_numpy(zero_copy_only=False)
+        dl_np = cols["dl"].to_numpy(zero_copy_only=False)
+        yield pa.RecordBatch.from_arrays([
+            pc.take(denc.dictionary, pa.array(codes[first])),
+            pa.array(doc_np[doc_idx[first]]),
+            pa.array(dl_np[doc_idx[first]]),
+            pa.array((bounds[1:] - bounds[:-1]).astype(np.int64)),
+            pa.ListArray.from_arrays(pa.array(bounds.astype(np.int32)),
+                                     pa.array(pos[order])),
+        ], names=["term", "doc_id", "dl", "tf", "positions"])
 
 
 def positions_rows(enriched: DataFrame, term_buckets: int) -> DataFrame:
-    """The positions dataset plan: map-side kernel + JVM-side tbucket
-    column (xxhash64 stays in Catalyst; no Python hashing)."""
+    """The positions dataset plan: map-side Arrow kernel + JVM-side
+    tbucket column (xxhash64 stays in Catalyst; no Python hashing)."""
     return (enriched.select("doc_id", "dl", "tokens")
-            .mapInPandas(_positions_kernel, POSITIONS_SCHEMA)
+            .mapInArrow(_positions_kernel, POSITIONS_SCHEMA)
             .withColumn("tbucket", _tbucket(F.col("term"), term_buckets)))
 
 
