@@ -26,6 +26,10 @@ BENCH_QUERIES: dict[str, tuple[str | None, int, int, dict | None]] = {
                      "repo": ["src0", "src1", "src2", "src3", "src4", "src5"]}),
     "q6_page": ("spark", 5, 3, None),
     "q7_matchall": (None, 10, 5, {"lang": ["de"]}),
+    # round-3 dismax operators: phrase reads the positions/ dataset
+    # (term-bucket-pruned), boolean folds MUST/MUST_NOT into one agg
+    "q8_phrase": ('"spark join" merge', 10, 0, None),
+    "q9_boolean": ("+join -parse spark", 10, 0, None),
 }
 
 

@@ -291,8 +291,9 @@ def append_docs_physical(spark: SparkSession, index_dir: str,
                                      * int(meta["n_docs"])))) + dl_new
         avgdl2 = dl_sum2 / n2 if n2 else 0.0
 
-        enriched.drop("tokens").write.mode("append").parquet(
-            idx.path_of("docs_store"))
+        # tokens ride into docs_store like the base build writes them
+        # (postings.write_index) — compact re-derives positions from them
+        enriched.write.mode("append").parquet(idx.path_of("docs_store"))
 
         # the map-side positions kernel yields postings input, df delta
         # AND positions in one pass — the segment's token stream is
@@ -426,7 +427,12 @@ def compact_index(spark: SparkSession, index_dir: str) -> PhysicalIndex:
      .write.mode("overwrite").partitionBy("tbucket").parquet(new_ts))
 
     new_docs = os.path.join(index_dir, gen_name("docs_store", new_gen))
-    idx.docs_store.write.mode("overwrite").parquet(new_docs)  # tombstones filtered
+    # raw store (keeps the tokens column the query-facing property drops),
+    # tombstones filtered like the property does
+    raw_docs = idx._read("docs_store")
+    if idx.tombstones:
+        raw_docs = raw_docs.filter(idx._not_tombstoned())
+    raw_docs.write.mode("overwrite").parquet(new_docs)
 
     if idx.has_positions:
         new_pos = os.path.join(index_dir, gen_name("positions", new_gen))

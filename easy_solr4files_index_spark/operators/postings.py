@@ -4,7 +4,9 @@ and metrics (BASELINE.json north_rule).
 
 Layout under ``<index_dir>/``:
 
-  docs_store/            parquet — doc_id, repo, path, commit, lang, sha256, dl
+  docs_store/            parquet — doc_id, repo, path, commit, lang, sha256,
+                                   dl, tokens (build/maintenance input;
+                                   query reads column-prune it away)
   postings/tbucket=T/    parquet — term, bucket, n, doc_ids, tfs, dls, max_tfnorm
   termstats/             parquet — term, df, tbucket
   globals.json           N, avgdl, config, fingerprint
@@ -318,8 +320,18 @@ def write_index(spark: SparkSession, docs: DataFrame, index_dir: str,
 
     # one pass over content (sha256 + tokenize + dl, no join) — see
     # index_build.enrich_docs; cached so docs_store and tf share it
-    enriched = enrich_docs(with_ids, config).persist()
-    docs_store = enriched.drop("tokens")
+    # tokens are written INTO docs_store (one extra parquet column) and
+    # the positions/tf pass re-reads them column-pruned, instead of
+    # holding a .persist() of the tokenized corpus: the columnar cache
+    # population measured as a ~14s NON-scaling constant at 500k docs
+    # (same cost at local[2] and local[8] — an Amdahl term that capped
+    # build scaling at ~0.72), while the parquet write rides the
+    # docs_store job we already pay and scales with it. Query paths
+    # never read the column (every consumer projects explicit columns,
+    # and PhysicalIndex.docs_store drops it), and resume/compact get the
+    # token stream back without re-tokenizing.
+    enriched = enrich_docs(with_ids, config)
+    docs_store = enriched
 
     t0 = time.time()
     n_docs = avgdl = None
@@ -349,10 +361,16 @@ def write_index(spark: SparkSession, docs: DataFrame, index_dir: str,
         n_docs, avgdl = g["n"] or 0, float(g["avgdl"] or 0.0)
         dl_sum = int(g["dl_sum"] or 0)
 
+    # Every pass below re-reads the token stream from the just-written
+    # docs_store parquet, column-pruned to (doc_id, dl, tokens) — see the
+    # no-cache note above.
+    stored_tokens = (spark.read.parquet(os.path.join(index_dir, "docs_store"))
+                     .select("doc_id", "dl", "tokens"))
+
     # With positions on (the Lucene-parity default), the positions
     # dataset is written FIRST by the zero-shuffle map-side kernel
-    # (positions_rows: per-doc term→positions grouping in numpy, tf
-    # stored alongside, direct partitionBy write), and the postings
+    # (positions_rows: per-doc term→positions grouping in Arrow/numpy,
+    # tf stored alongside, direct partitionBy write), and the postings
     # encode then READS it back with parquet column pruning — the token
     # stream is never exploded into a shuffle at all. This deliberately
     # materializes through disk instead of .persist(): caching the
@@ -365,7 +383,7 @@ def write_index(spark: SparkSession, docs: DataFrame, index_dir: str,
         if ("positions", 0) in done:
             skipped.append("positions")
         else:
-            (positions_rows(enriched, config.term_buckets)
+            (positions_rows(stored_tokens, config.term_buckets)
              .write.mode("overwrite").partitionBy("tbucket")
              .parquet(os.path.join(index_dir, "positions")))
             _append_lineage(spark, index_dir, "positions", 0, fingerprint,
@@ -378,7 +396,7 @@ def write_index(spark: SparkSession, docs: DataFrame, index_dir: str,
             "bucket", (F.col("doc_id") / config.bucket_span).cast("long"))
     else:
         tf = (
-            enriched.select("doc_id", "dl", F.explode("tokens").alias("term"))
+            stored_tokens.select("doc_id", "dl", F.explode("tokens").alias("term"))
             .groupBy("term", "doc_id", "dl").agg(F.count("*").alias("tf"))
         )
         tfb = (
@@ -432,12 +450,10 @@ def write_index(spark: SparkSession, docs: DataFrame, index_dir: str,
         _mark(f"postings group {gi}")
         if fail_after_group is not None and gi + 1 >= fail_after_group:
             tfb.unpersist()
-            enriched.unpersist()
             release_docid_cache(with_ids)
             raise RuntimeError(f"injected failure after postings group {gi}")
 
     tfb.unpersist()
-    enriched.unpersist()
     release_docid_cache(with_ids)
 
     # termstats DERIVED from the written block metadata: df(term) = Σ n
@@ -523,7 +539,10 @@ class PhysicalIndex:
 
     @property
     def docs_store(self) -> DataFrame:
-        df = self._read("docs_store")
+        # the stored token stream (build/maintenance input) is not part
+        # of the query-facing store schema; dropping it here keeps
+        # filterable-field validation and match-all projections unchanged
+        df = self._read("docs_store").drop("tokens")
         if self.tombstones:
             df = df.filter(self._not_tombstoned())
         return df
