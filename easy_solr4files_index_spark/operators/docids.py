@@ -31,49 +31,61 @@ KEY = ["repo", "path", "commit"]
 
 
 def assign_doc_ids(docs: DataFrame, num_partitions: int | None = None) -> DataFrame:
-    """Returns docs + ``doc_id bigint`` = dense global rank by KEY."""
+    """Returns docs + ``doc_id bigint`` = dense global rank by KEY.
+
+    The rank is computed on a KEYS-ONLY projection (repo, path, commit --
+    tens of bytes per row, column-pruned at the parquet scan) and joined
+    back to the full rows by key hash. Earlier revisions range-shuffled
+    and ``.persist()``-ed the FULL rows (content included) so the count
+    job and the rank job would observe one partition layout; measured at
+    200k docs that cache was the build's dominant Amdahl term (cache
+    population + read cost ~22s at local[2] but ~47s at local[8]: block
+    manager contention under concurrent columnar cache writes -- the same
+    pathology as round 2's tf cache). Keys-only evaluation is cheap
+    enough to simply run twice (count pass + rank pass); both passes
+    evaluate the identical deterministic plan (same parquet splits, same
+    per-partition-index RangePartitioner sampling seed), so the observed
+    pids agree without any cache.
+
+    Content therefore moves through exactly ONE shuffle: the join back
+    (hash by KEY). At 10^12 rows the mapping side is far too large to
+    broadcast -- the shuffled equi-join IS the scalable shape, and AQE
+    picks sort-merge vs shuffled-hash from the actual sizes.
+    """
+    spark = docs.sparkSession
     if num_partitions is None:
         # 4x the core count: with exactly one task per core a single
         # straggler idles everything else for the whole stage; smaller
         # range partitions give the scheduler slack to rebalance (the
-        # prefix-sum cost is P integers on the driver — negligible)
-        num_partitions = max(4 * docs.sparkSession.sparkContext.defaultParallelism, 8)
-    ranged = docs.repartitionByRange(num_partitions, *KEY).withColumn(
-        "_pid", F.spark_partition_id()
-    )
-    # persist so the pid observed by the count job and the rank job agree
-    ranged = ranged.persist()
+        # prefix-sum cost is P integers on the driver -- negligible)
+        num_partitions = max(4 * spark.sparkContext.defaultParallelism, 8)
+    ranged_keys = (docs.select(*KEY)
+                   .repartitionByRange(num_partitions, *KEY)
+                   .withColumn("_pid", F.spark_partition_id()))
     counts = {r["_pid"]: r["cnt"] for r in
-              ranged.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()}
+              ranged_keys.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()}
     offsets, acc = {}, 0
     for pid in sorted(counts):
         offsets[pid] = acc
         acc += counts[pid]
-    spark = docs.sparkSession
     off_df = spark.createDataFrame(
         [(pid, off) for pid, off in offsets.items()] or [(0, 0)],
         "_pid int, _offset long",
     )
     w = Window.partitionBy("_pid").orderBy(*KEY)
-    out = (
-        ranged.withColumn("_rn", F.row_number().over(w))
+    mapping = (
+        ranged_keys.withColumn("_rn", F.row_number().over(w))
         .join(F.broadcast(off_df), "_pid", "left")
-        .withColumn("doc_id", (F.coalesce("_offset", F.lit(0)) + F.col("_rn") - 1).cast("long"))
-        .drop("_pid", "_rn", "_offset")
+        .select(*KEY, (F.coalesce("_offset", F.lit(0)) + F.col("_rn") - 1)
+                .cast("long").alias("doc_id"))
     )
-    # hand the persisted range-partitioned input to the caller for release
-    # once downstream results are materialized (release_docid_cache) — the
-    # cache exists so the count job and the rank job observe one layout;
-    # recomputation after release is safe (same RDD lineage => same
-    # RangePartitioner seed/boundaries) but uncached, so callers release
-    # only after their own materialization point.
-    out._docid_range_cache = ranged
-    return out
+    # keys are unique (module precondition, see header), so the join is 1:1
+    return docs.join(mapping, KEY).select(*docs.columns, "doc_id")
 
 
 def release_docid_cache(docs_with_ids: DataFrame) -> None:
-    """Unpersist the internal cache assign_doc_ids left behind (call after
-    the derived outputs are materialized; idempotent, best-effort)."""
+    """Kept for API compatibility: assign_doc_ids no longer persists
+    anything (see its docstring), so there is nothing to release."""
     cached = getattr(docs_with_ids, "_docid_range_cache", None)
     if cached is not None:
         try:

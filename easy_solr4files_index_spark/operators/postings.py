@@ -310,6 +310,7 @@ def write_index(spark: SparkSession, docs: DataFrame, index_dir: str,
     from pyspark.sql import Observation
 
     with_ids = assign_doc_ids(docs)
+    _mark("doc_ids assigned")
     resuming = os.path.exists(_lineage_path(index_dir))
     # fresh build: fingerprint + global stats ride the docs_store write as
     # an Observation — no separate scan jobs. Resume: the fingerprint must
@@ -435,16 +436,7 @@ def write_index(spark: SparkSession, docs: DataFrame, index_dir: str,
         (part.repartition(hi - lo, F.col("tbucket"))
          .write.mode("overwrite").partitionBy("tbucket")
          .parquet(os.path.join(index_dir, "postings")))
-        # per-partition metrics (north_rule: rows, terms, bytes, skew factor)
-        m = (spark.read.parquet(os.path.join(index_dir, "postings"))
-             .filter((F.col("tbucket") >= lo) & (F.col("tbucket") < hi))
-             .groupBy("tbucket").agg(
-                 F.sum("n").alias("rows_indexed"),
-                 F.count_distinct("term").alias("terms"),
-                 F.sum(F.length("doc_ids") + F.length("tfs") + F.length("dls")).alias("postings_bytes"),
-                 (F.max("n") / F.avg("n")).alias("skew_factor"))
-             .withColumnRenamed("tbucket", "partition_id"))
-        m.coalesce(1).write.mode("append").parquet(os.path.join(index_dir, "_metrics"))
+        _mark(f"postings write g{gi}")
         _append_lineage(spark, index_dir, "postings", gi, fingerprint, "done", t0)
         run.append(f"postings:{gi}")
         _mark(f"postings group {gi}")
@@ -456,20 +448,44 @@ def write_index(spark: SparkSession, docs: DataFrame, index_dir: str,
     tfb.unpersist()
     release_docid_cache(with_ids)
 
-    # termstats DERIVED from the written block metadata: df(term) = Σ n
-    # over the term's blocks. The input is the tiny block-row table (one
-    # row per (term, bucket)), so this costs a metadata-scale aggregate
-    # instead of a second full pass over tf.
+    # termstats AND per-partition metrics DERIVED from the written block
+    # metadata in ONE scan: per (term, tbucket) the block rows aggregate
+    # to df = Σ n plus block-count / max(n) / byte totals, and the
+    # north-rule metrics (rows, terms, bytes, skew factor) are an
+    # aggregate-of-aggregates over that vocab-sized frame — the metrics
+    # job never re-reads postings (it used to re-scan per lineage group,
+    # a fixed serial job per group at both parallelism levels). The
+    # persisted frame is vocab-scale (thousands of rows), not data-scale.
     t0 = time.time()
     if ("termstats", 0) in done:
         skipped.append("termstats")
     else:
-        (spark.read.parquet(os.path.join(index_dir, "postings"))
-         .groupBy("term", "tbucket").agg(F.sum("n").cast("long").alias("df"))
-         .select("term", "df", "tbucket")
+        per_term = (spark.read.parquet(os.path.join(index_dir, "postings"))
+                    .groupBy("term", "tbucket").agg(
+                        F.sum("n").cast("long").alias("df"),
+                        F.count("*").alias("_blocks"),
+                        F.max("n").alias("_max_n"),
+                        F.sum(F.length("doc_ids") + F.length("tfs")
+                              + F.length("dls")).alias("_bytes"))
+                    .persist())
+        (per_term.select("term", "df", "tbucket")
          .repartition(config.term_buckets, F.col("tbucket"))
          .write.mode("overwrite").partitionBy("tbucket")
          .parquet(os.path.join(index_dir, "termstats")))
+        # skew_factor = max block size / mean block size per tbucket:
+        # max(_max_n) / (Σ df / Σ _blocks) — identical to the former
+        # block-row formulation max(n)/avg(n). overwrite (not append):
+        # a crash between this write and the lineage mark re-runs the
+        # stage cleanly instead of duplicating rows.
+        (per_term.groupBy("tbucket").agg(
+             F.sum("df").alias("rows_indexed"),
+             F.count("*").alias("terms"),
+             F.sum("_bytes").alias("postings_bytes"),
+             (F.max("_max_n") / (F.sum("df") / F.sum("_blocks"))).alias("skew_factor"))
+         .withColumnRenamed("tbucket", "partition_id")
+         .coalesce(1).write.mode("overwrite")
+         .parquet(os.path.join(index_dir, "_metrics")))
+        per_term.unpersist()
         _append_lineage(spark, index_dir, "termstats", 0, fingerprint, "done", t0)
         run.append("termstats")
     _mark("termstats written")

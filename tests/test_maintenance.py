@@ -227,17 +227,21 @@ def test_merge_ranges():
     assert merge_ranges([(0, 100), (10, 20)]) == ((0, 100),)
 
 
-def test_docid_range_cache_released(spark, corpus):
+def test_docid_assignment_leaves_no_cache(spark, corpus):
+    """assign_doc_ids ranks a keys-only projection and joins back — it no
+    longer persists the raw corpus at all (the round-3 scaling fix: the
+    full-row cache cost MORE at 8 cores than at 2). The persistent-RDD map
+    must be untouched, and release_docid_cache stays an idempotent no-op."""
     from easy_solr4files_index_spark.operators.docids import (
         assign_doc_ids, release_docid_cache)
 
+    before = spark.sparkContext._jsc.getPersistentRDDs().size()
     with_ids = assign_doc_ids(corpus)
     with_ids.count()
-    cached = with_ids._docid_range_cache
-    assert cached.storageLevel.useMemory or cached.storageLevel.useDisk
+    after = spark.sparkContext._jsc.getPersistentRDDs().size()
+    assert after == before, f"assign_doc_ids persisted something: {before} -> {after}"
+    release_docid_cache(with_ids)  # idempotent no-op
     release_docid_cache(with_ids)
-    assert not (cached.storageLevel.useMemory or cached.storageLevel.useDisk)
-    release_docid_cache(with_ids)  # idempotent
 
 
 def test_no_orphaned_persistent_rdds_after_release(spark, corpus):
