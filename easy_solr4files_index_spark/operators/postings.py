@@ -564,6 +564,24 @@ class PhysicalIndex:
         return df
 
     @property
+    def docs_store_bytes(self) -> int:
+        """On-disk size of the stored-fields dataset (memoized). Drives
+        the query-side fetch strategy: past a threshold the k winners'
+        stored fields are fetched via a doc_id IN (...) pushed filter
+        (row-group pruning) instead of a full-store broadcast join —
+        see operators/wand._stored_fields_page."""
+        if not hasattr(self, "_docs_store_bytes"):
+            total = 0
+            for root, _dirs, files in os.walk(self.path_of("docs_store")):
+                for f in files:
+                    try:
+                        total += os.path.getsize(os.path.join(root, f))
+                    except OSError:
+                        pass
+            self._docs_store_bytes = total
+        return self._docs_store_bytes
+
+    @property
     def postings(self) -> DataFrame:
         return self._read("postings")
 

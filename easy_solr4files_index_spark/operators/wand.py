@@ -28,6 +28,7 @@ and the numpy oracle (WAND top-k == naive top-k, SURVEY.md §5.2.4).
 
 from __future__ import annotations
 
+import os
 from typing import Iterator
 
 import numpy as np
@@ -139,6 +140,44 @@ def _term_clause_rows(blocks: DataFrame, cmap: DataFrame, k1: float, b: float,
         kernel, "term string, doc_id long, contrib double")
     return (decoded.join(F.broadcast(cmap), "term")
             .select("doc_id", "cid", "kind", "contrib"))
+
+
+# Stored-field fetch strategy cutover (bytes of docs_store on disk).
+# Below: broadcast the ≤k-row page onto a full store scan — one job, and
+# at small scale the scan is cheaper than a second driver round-trip.
+# Above: collect the k winner ids and fetch stored fields through a
+# doc_id IN (...) filter PUSHED to parquet row-group statistics — the
+# lookup reads ~k row groups instead of the whole store (Lucene's
+# fetch-stored-fields-by-docID shape; at 100 TB the full-store scan is
+# the difference between milliseconds and a cluster-wide pass).
+_FETCH_BY_ID_BYTES = int(os.environ.get("SPARK_FTS_FETCH_BY_ID_BYTES",
+                                        str(1 << 30)))
+
+_PAGE_SCHEMA = "doc_id long, repo string, path string, lang string, score double"
+
+
+def _stored_fields_page(index: PhysicalIndex, page_narrow: DataFrame) -> DataFrame:
+    """(doc_id, score) page (≤ k rows) -> full result page with stored
+    fields, ordered (score desc, doc_id asc). See _FETCH_BY_ID_BYTES for
+    the two physical strategies."""
+    order = [F.col("score").desc(), F.col("doc_id").asc()]
+    cols = ["doc_id", "repo", "path", "lang", "score"]
+    if index.docs_store_bytes < _FETCH_BY_ID_BYTES:
+        return (F.broadcast(page_narrow)
+                .join(index.docs_store.select("doc_id", "repo", "path", "lang"),
+                      "doc_id")
+                .orderBy(*order).select(*cols))
+    rows = page_narrow.collect()
+    if not rows:
+        return index.spark.createDataFrame([], _PAGE_SCHEMA)
+    score_df = index.spark.createDataFrame(
+        [(int(r["doc_id"]), float(r["score"])) for r in rows],
+        "doc_id long, score double")
+    fields = (index.docs_store
+              .filter(F.col("doc_id").isin([int(r["doc_id"]) for r in rows]))
+              .select("doc_id", "repo", "path", "lang"))
+    return (fields.join(F.broadcast(score_df), "doc_id")
+            .orderBy(*order).select(*cols))
 
 
 def _score_boolean_physical(index: PhysicalIndex, clauses,
@@ -272,16 +311,14 @@ def _blockmax(index: PhysicalIndex, text: str | None, k: int, skip: int,
 
     def topk(scored: DataFrame) -> DataFrame:
         # cut FIRST on the narrow (doc_id, score) stream (TakeOrdered —
-        # no global shuffle), join stored fields only for the k winners.
-        # fq was already applied below the aggregate (fq_ids).
+        # no global shuffle), join stored fields only for the k winners
+        # (_stored_fields_page: broadcast join vs pushed-IN fetch by
+        # store size). fq was already applied below the aggregate (fq_ids).
         sc = F.round(F.col("score"), round_score) if round_score is not None else F.col("score")
-        page = F.broadcast(
-            scored.orderBy(F.col("score").desc(), F.col("doc_id").asc())
-            .offset(skip).limit(k)
-            .select("doc_id", sc.alias("score")))
-        return (page.join(index.docs_store.select("doc_id", "repo", "path", "lang"), "doc_id")
-                .orderBy(F.col("score").desc(), F.col("doc_id").asc())
-                .select("doc_id", "repo", "path", "lang", "score"))
+        page = (scored.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+                .offset(skip).limit(k)
+                .select("doc_id", sc.alias("score")))
+        return _stored_fields_page(index, page)
 
     if boolean:
         # +/-/phrase clauses: exact boolean scoring (block-max upper
@@ -426,14 +463,10 @@ def search_with_found(index: PhysicalIndex, text: str | None = None,
             return empty, 0
         sc = (F.round(F.col("score"), round_score)
               if round_score is not None else F.col("score"))
-        page = F.broadcast(
-            scored.orderBy(F.col("score").desc(), F.col("doc_id").asc())
-            .offset(skip).limit(k)
-            .select("doc_id", sc.alias("score")))
-        out = (page.join(index.docs_store.select("doc_id", "repo", "path", "lang"),
-                         "doc_id")
-               .orderBy(F.col("score").desc(), F.col("doc_id").asc())
-               .select("doc_id", "repo", "path", "lang", "score"))
+        page = (scored.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+                .offset(skip).limit(k)
+                .select("doc_id", sc.alias("score")))
+        out = _stored_fields_page(index, page)
         # pin the k winners locally so the persisted stream can be released
         rows = out.collect()
         return spark.createDataFrame(rows, out.schema), found

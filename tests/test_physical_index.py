@@ -190,6 +190,25 @@ def test_physical_matches_logical_on_testdata(spark, built):
 
 
 @pytest.mark.parametrize("text,k,skip,filters", QUERIES)
+def test_fetch_by_id_page_identical(built, monkeypatch, text, k, skip, filters):
+    """Stored-field fetch strategies are interchangeable: forcing the
+    large-store path (collect k winner ids, fetch via a doc_id IN (...)
+    filter pushed to parquet row-group stats) returns byte-identical
+    pages to the default broadcast-join path."""
+    import easy_solr4files_index_spark.operators.wand as wand_mod
+
+    pidx, *_ = built
+    if text is None:
+        pytest.skip("match-all path bypasses scoring/fetch")
+    base = search_blockmax(pidx, text, k=k, skip=skip, filters=filters,
+                           round_score=None).collect()
+    monkeypatch.setattr(wand_mod, "_FETCH_BY_ID_BYTES", 0)
+    forced = search_blockmax(pidx, text, k=k, skip=skip, filters=filters,
+                             round_score=None).collect()
+    assert [tuple(r) for r in forced] == [tuple(r) for r in base], text
+
+
+@pytest.mark.parametrize("text,k,skip,filters", QUERIES)
 def test_search_with_found_page_and_count(built, text, k, skip, filters):
     """Single-pass physical numFound: the page matches search_blockmax
     and found matches the oracle's full match count (with fq applied)."""
