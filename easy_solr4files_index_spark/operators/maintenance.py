@@ -87,6 +87,24 @@ AUTO_COMPACT_MAX_RANGES = 64
 AUTO_COMPACT_MAX_MASKED = 0.20
 
 
+def _run_parallel(thunks) -> None:
+    """Submit independent Spark actions from threads so their fixed
+    per-job overheads overlap (tiny-bag maintenance is job-latency-bound;
+    Spark's scheduler runs concurrent jobs on free task slots). Raises
+    the first failure after all complete."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    if len(thunks) == 1:
+        thunks[0]()
+        return
+    with ThreadPoolExecutor(max_workers=len(thunks)) as ex:
+        futures = [ex.submit(t) for t in thunks]
+        errs = [f.exception() for f in futures]
+    for e in errs:
+        if e is not None:
+            raise e
+
+
 def _read_globals(index_dir: str) -> dict:
     with open(os.path.join(index_dir, "globals.json")) as fh:
         return json.load(fh)
@@ -281,8 +299,17 @@ def append_docs_physical(spark: SparkSession, index_dir: str,
         "doc_id", (F.col("doc_id") + base).cast("long"))
     enriched = enrich_docs(with_ids, cfg).persist()
     try:
-        g = enriched.agg(F.count("*").alias("n"), F.sum("dl").alias("dls")).collect()[0]
-        n_new, dl_new = g["n"] or 0, int(g["dls"] or 0)
+        # tokens ride into docs_store like the base build writes them
+        # (postings.write_index) — compact re-derives positions from them.
+        # The segment's n/Σdl stats ride on the SAME job as an Observation
+        # (no standalone agg pass; same trick as write_index's build stats)
+        from pyspark.sql import Observation
+        obs = Observation()
+        (enriched.observe(obs, F.count(F.lit(1)).alias("n"),
+                          F.sum("dl").alias("dls"))
+         .write.mode("append").parquet(idx.path_of("docs_store")))
+        n_new = int(obs.get["n"] or 0)
+        dl_new = int(obs.get["dls"] or 0)
         if n_new == 0:
             return idx
         n2 = int(meta["n_docs"]) + n_new
@@ -290,10 +317,6 @@ def append_docs_physical(spark: SparkSession, index_dir: str,
                                round(float(meta.get("avgdl", 0.0))
                                      * int(meta["n_docs"])))) + dl_new
         avgdl2 = dl_sum2 / n2 if n2 else 0.0
-
-        # tokens ride into docs_store like the base build writes them
-        # (postings.write_index) — compact re-derives positions from them
-        enriched.write.mode("append").parquet(idx.path_of("docs_store"))
 
         # the map-side positions kernel yields postings input, df delta
         # AND positions in one pass — the segment's token stream is
@@ -311,24 +334,39 @@ def append_docs_physical(spark: SparkSession, index_dir: str,
         # encode with the POST-append avgdl (exact scoring stats)
         part = tfb.groupBy("tbucket", "bucket").applyInPandas(
             _make_encoder(cfg.k1, cfg.b, avgdl2), POSTINGS_SCHEMA)
-        (part.repartition(cfg.term_buckets, F.col("tbucket"))
-         .write.mode("append").partitionBy("tbucket")
-         .parquet(idx.path_of("postings")))
-        (tf.groupBy("term").agg(F.count("*").alias("df"))
-         .withColumn("tbucket", _tbucket(F.col("term"), cfg.term_buckets))
-         .write.mode("append").partitionBy("tbucket")
-         .parquet(idx.path_of("_termstats_delta")))
-        if meta.get("index_positions"):
+
+        def _write_postings() -> None:
+            (part.repartition(cfg.term_buckets, F.col("tbucket"))
+             .write.mode("append").partitionBy("tbucket")
+             .parquet(idx.path_of("postings")))
+
+        def _write_termstats_delta() -> None:
+            (tf.groupBy("term").agg(F.count("*").alias("df"))
+             .withColumn("tbucket", _tbucket(F.col("term"), cfg.term_buckets))
+             .write.mode("append").partitionBy("tbucket")
+             .parquet(idx.path_of("_termstats_delta")))
+
+        def _write_positions() -> None:
             # positional rows for the new segment — pure file append,
             # same tbucket layout as the base (phrase queries see the
-            # union automatically)
-            # tf rides along as an explicit column (same schema as the
-            # base segment's positions/, which the build encodes from)
+            # union automatically). tf rides along as an explicit column
+            # (same schema as the base segment's positions/)
             pos = (tf.select("term", "doc_id", "dl", "tf", "positions")
                    .withColumn("tbucket", _tbucket(F.col("term"), cfg.term_buckets)))
             (pos.repartition(cfg.term_buckets, F.col("tbucket"))
              .write.mode("append").partitionBy("tbucket")
              .parquet(idx.path_of("positions")))
+
+        # the three writes are independent readers of the persisted tf —
+        # submit them as CONCURRENT jobs so their fixed scheduling
+        # overheads overlap (a 250-doc bag is 6 near-empty jobs; run
+        # serially each still pays ~1-2s of job latency). Block-manager
+        # per-partition locks make the first reader compute each cached
+        # partition while the others wait — no duplicated work.
+        writers = [_write_postings, _write_termstats_delta]
+        if meta.get("index_positions"):
+            writers.append(_write_positions)
+        _run_parallel(writers)
         tf.unpersist()
     finally:
         enriched.unpersist()

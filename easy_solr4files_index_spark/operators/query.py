@@ -189,7 +189,7 @@ def _phrase_tf(pmap: F.Column, phrase: tuple[str, ...]) -> F.Column:
 
 def score_phrase(positions: DataFrame, termstats_idf: DataFrame,
                  phrase: tuple[str, ...], k1: float, b: float,
-                 avgdl: float) -> DataFrame:
+                 avgdl: float, phidf: float | None = None) -> DataFrame:
     """(doc_id, contrib) for docs containing the exact phrase.
 
     Scoring is Lucene's PhraseQuery under BM25Similarity: tf = phrase
@@ -217,12 +217,19 @@ def score_phrase(positions: DataFrame, termstats_idf: DataFrame,
         .withColumn("ptf", _phrase_tf(F.col("pmap"), phrase))
         .filter(F.col("ptf") > 0)
     )
+    if phidf is not None:
+        # caller already resolved Σ idf(term) driver-side (the physical
+        # path collects the pruned per-term idf rows once per query) —
+        # a literal multiply, no aggregate + broadcast-exchange stages
+        return per_doc.select(
+            "doc_id", (F.lit(float(phidf)) * _tfnorm(F.col("ptf"), F.col("dl"),
+                                                     k1, b, avgdl)).alias("contrib"))
     mult_expr = F.lit(None).cast("double")
     for t, c in mult.items():
         mult_expr = F.when(F.col("term") == t, float(c)).otherwise(mult_expr)
-    phidf = (termstats_idf.filter(F.col("term").isin(uniq))
-             .agg(F.sum(F.col("idf") * mult_expr).alias("phidf")))
-    return (per_doc.crossJoin(F.broadcast(phidf))
+    phidf_df = (termstats_idf.filter(F.col("term").isin(uniq))
+                .agg(F.sum(F.col("idf") * mult_expr).alias("phidf")))
+    return (per_doc.crossJoin(F.broadcast(phidf_df))
             .select("doc_id",
                     (F.col("phidf") * _tfnorm(F.col("ptf"), F.col("dl"),
                                               k1, b, avgdl)).alias("contrib")))
@@ -293,10 +300,15 @@ def combine_clause_rows(parts: list[DataFrame], n_must: int,
     if fq_ids is not None:
         u = u.join(fq_ids, "doc_id", "left_semi")
 
+    # (doc_id, cid) is unique across the union by construction — a term
+    # clause yields one posting row per doc and a phrase clause one
+    # grouped row per doc, and every clause (synonym expansions included)
+    # gets its own cid — so a plain count replaces count_distinct, which
+    # would plan as a SECOND aggregate exchange (partial-distinct pass)
     agg = u.groupBy("doc_id").agg(
         F.sum(F.when(F.col("kind") != "must_not", F.col("contrib"))
               .otherwise(0.0)).alias("score"),
-        F.count_distinct(F.when(F.col("kind") == "must", F.col("cid")))
+        F.count(F.when(F.col("kind") == "must", F.col("cid")))
         .alias("musts_hit"),
         F.max(F.when(F.col("kind") == "should", 1).otherwise(0)).alias("has_should"),
         F.max(F.when(F.col("kind") == "must_not", 1).otherwise(0)).alias("prohibited"),

@@ -102,12 +102,15 @@ def _score_blocks(blocks: DataFrame, k1: float, b: float, avgdl: float,
     return exploded.groupBy("doc_id").agg(F.sum("contrib").alias("score"))
 
 
-def _term_clause_rows(blocks: DataFrame, cmap: DataFrame, k1: float, b: float,
-                      avgdl: float,
+def _term_clause_rows(blocks: DataFrame, cmap: list[tuple[str, int, str]],
+                      k1: float, b: float, avgdl: float,
                       tombstones: tuple[tuple[int, int], ...] = ()) -> DataFrame:
     """Decode blocks to per-clause rows (doc_id, cid, kind, contrib) for
     the boolean combiner — like _score_blocks but each posting keeps its
-    term so the tiny clause map (term → cid/kind, broadcast) can tag it."""
+    term so the clause map (term → [(cid, kind)]) can tag it. The map is
+    query-sized, so it goes in as a literal CASE→array→explode projection
+    rather than a broadcast join: one fewer exchange (and one fewer AQE
+    stage job) on a latency-sensitive path."""
     avgdl = avgdl if avgdl > 0 else 1.0
     ranges = [(int(lo), int(hi)) for lo, hi in tombstones]
 
@@ -138,8 +141,18 @@ def _term_clause_rows(blocks: DataFrame, cmap: DataFrame, k1: float, b: float,
 
     decoded = blocks.select("term", "n", "doc_ids", "tfs", "dls", "idf").mapInPandas(
         kernel, "term string, doc_id long, contrib double")
-    return (decoded.join(F.broadcast(cmap), "term")
-            .select("doc_id", "cid", "kind", "contrib"))
+    by_term: dict[str, list[tuple[int, str]]] = {}
+    for term, cid, kind in cmap:
+        by_term.setdefault(term, []).append((cid, kind))
+    tag = F.lit(None).cast("array<struct<cid:int,kind:string>>")
+    for term, cks in by_term.items():
+        arr = F.array(*[F.struct(F.lit(cid).cast("int").alias("cid"),
+                                 F.lit(kind).alias("kind"))
+                        for cid, kind in cks])
+        tag = F.when(F.col("term") == term, arr).otherwise(tag)
+    return (decoded.select("doc_id", F.explode(tag).alias("ck"), "contrib")
+            .select("doc_id", F.col("ck.cid").alias("cid"),
+                    F.col("ck.kind").alias("kind"), "contrib"))
 
 
 # Stored-field fetch strategy cutover (bytes of docs_store on disk).
@@ -200,20 +213,35 @@ def _score_boolean_physical(index: PhysicalIndex, clauses,
     all_terms = sorted({t for _, c in term_clauses for t in c.terms}
                        | {t for _, c in phrase_clauses for t in c.terms})
     tbuckets = sorted({term_bucket(t, cfg.term_buckets) for t in all_terms})
-    ts = (index.termstats
-          .filter(F.col("tbucket").isin(tbuckets) & F.col("term").isin(all_terms))
-          .withColumn("idf", _idf_expr(index.n_docs)))
+    # idf for the query's terms comes from ONE collect of the pruned
+    # termstats scan (≤ |query terms| rows at any corpus size — the scan
+    # is partition- and row-group-pruned). The OR/WAND path keeps idf
+    # in-plan because its single broadcast feeds everything; here the
+    # collected map replaces THREE exchange stages (idf broadcast join,
+    # per-phrase Σidf aggregate, its crossJoin broadcast) on a
+    # latency-sensitive path. idf is still evaluated JVM-side (same
+    # _idf_expr plan), so scores are bit-identical to the in-plan join.
+    idf_map = {
+        r["term"]: float(r["idf"])
+        for r in (index.termstats
+                  .filter(F.col("tbucket").isin(tbuckets)
+                          & F.col("term").isin(all_terms))
+                  .withColumn("idf", _idf_expr(index.n_docs))
+                  .select("term", "idf").collect())
+    }
 
     parts: list[DataFrame] = []
     if term_clauses:
         qterms = sorted({c.terms[0] for _, c in term_clauses})
         qtb = sorted({term_bucket(t, cfg.term_buckets) for t in qterms})
+        idf_expr = F.lit(None).cast("double")
+        for t in qterms:
+            if t in idf_map:
+                idf_expr = F.when(F.col("term") == t, idf_map[t]).otherwise(idf_expr)
         blocks = (index.postings
                   .filter(F.col("tbucket").isin(qtb) & F.col("term").isin(qterms))
-                  .join(F.broadcast(ts.select("term", "idf")), "term"))
-        cmap = index.spark.createDataFrame(
-            [(c.terms[0], i, c.occur) for i, c in term_clauses],
-            "term string, cid int, kind string")
+                  .withColumn("idf", idf_expr))
+        cmap = [(c.terms[0], i, c.occur) for i, c in term_clauses]
         parts.append(_term_clause_rows(blocks, cmap, cfg.k1, cfg.b,
                                        index.avgdl, index.tombstones))
     if phrase_clauses:
@@ -222,7 +250,10 @@ def _score_boolean_physical(index: PhysicalIndex, clauses,
         pos = index.positions.filter(
             F.col("tbucket").isin(ptb) & F.col("term").isin(pterms))
         for i, c in phrase_clauses:
-            ph = score_phrase(pos, ts, c.terms, cfg.k1, cfg.b, index.avgdl)
+            # Lucene PhraseQuery idf: Σ over the term SEQUENCE (dups count)
+            phidf = sum(idf_map.get(t, 0.0) for t in c.terms)
+            ph = score_phrase(pos, None, c.terms, cfg.k1, cfg.b,
+                              index.avgdl, phidf=phidf)
             parts.append(ph.select("doc_id", F.lit(i).alias("cid"),
                                    F.lit(c.occur).alias("kind"), "contrib"))
     return combine_clause_rows(parts, n_must, fq_ids)

@@ -105,11 +105,16 @@ def main() -> None:
         "Look for: the positions/ scan pruned by `PartitionFilters` on "
         "`tbucket` and `PushedFilters: In(term, ...)` (the phrase reads "
         "only its own terms' partition dirs — Lucene .prx analog, same "
-        "layout discipline as the postings scan above it); the clause "
-        "tag map joined as a `BroadcastHashJoin`; the phrase tf computed "
-        "as a Catalyst array expression (no Python in that branch); and "
-        "ONE `HashAggregate(keys=[doc_id])` computing the score and the "
-        "MUST/MUST_NOT match predicate together — clause count never "
+        "layout discipline as the postings scan above it); NO broadcast "
+        "exchanges for query-sized metadata — per-term idf and the "
+        "clause tag map are literal CASE projections (idf collected once "
+        "from the pruned termstats scan; ≤|query terms| rows at any "
+        "corpus size), and the phrase Σidf is a literal multiplier; the "
+        "phrase tf computed as a Catalyst array expression (no Python in "
+        "that branch); and ONE `HashAggregate(keys=[doc_id])` computing "
+        "the score and the MUST/MUST_NOT match predicate together (a "
+        "plain count over the unique-by-construction (doc_id, cid) rows "
+        "— no count_distinct double-aggregate) — clause count never "
         "multiplies the shuffle count.",
         fmt(search_blockmax(idx, '+"spark join" merge -parse', k=5)),
     ))
