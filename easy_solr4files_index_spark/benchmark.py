@@ -69,11 +69,15 @@ def run_suite(sf_dir: str, cpus: int) -> dict:
         files_per_sec = n_files / build_s if build_s > 0 else float("inf")
 
         idx = open_index(spark, index_dir)
-        # warm-up: JVM/codegen/Arrow paths, not measured
+        # warm-up: JVM/codegen/Arrow paths, not measured — one query per
+        # execution family (OR/WAND, and the boolean/phrase path whose
+        # first run compiles the positions-scan + combiner plan)
         search_blockmax(idx, "spark", k=5).collect()
+        search_blockmax(idx, '+"spark merge" -dup join', k=5).collect()
 
         per_query: dict[str, float] = {}
         all_times: list[float] = []
+        core7_times: list[float] = []
         for name, (text, k, skip, filters) in BENCH_QUERIES.items():
             times = []
             for _ in range(QUERY_REPS):
@@ -85,8 +89,13 @@ def run_suite(sf_dir: str, cpus: int) -> dict:
             # the consistent estimator of engine latency (BENCH/BASELINE.md)
             per_query[name] = round(min(times), 4)
             all_times += times
+            if name <= "q7_matchall":  # q1..q7: the round-1/2 query set
+                core7_times += times
         all_times.sort()
+        core7_times.sort()
         p95 = all_times[min(len(all_times) - 1, int(0.95 * len(all_times)))]
+        p95_core7 = core7_times[min(len(core7_times) - 1,
+                                    int(0.95 * len(core7_times)))]
 
         upsert = run_incremental(spark, docs, index_dir, build_s)
 
@@ -102,6 +111,11 @@ def run_suite(sf_dir: str, cpus: int) -> dict:
             "build_sec_trials": [round(t, 3) for t in build_trials],
             "files_per_sec": round(files_per_sec, 1),
             "query_p95_sec": round(p95, 4),
+            # p95 over q1-q7 only — the round-1/2 query set, for
+            # round-over-round comparability (q8/q9 are NEW round-3
+            # operators: exact-scoring phrase/boolean, a different
+            # execution family, not a regression of the WAND path)
+            "query_p95_core7_sec": round(p95_core7, 4),
             "cpus": cpus,
             **upsert,
         }
@@ -196,6 +210,17 @@ def run_maintenance_curve(cpus: int,
     out: dict = {"cpus": cpus, "sizes": {}}
     largest = max(corpus_sizes)
     try:
+        # warm-up build (untimed): the first write_index in a session pays
+        # JVM codegen + Arrow + Python-worker spawn; without this the
+        # SMALLEST corpus (first in the loop) absorbed all of it and the
+        # curve showed 50k builds slower than 200k in absolute time —
+        # systematic across runs, diagnosed round 3
+        warm_path = materialize_scale_corpus(
+            spark, 5_000, "/tmp/fts_scale_corpus_v2_5000")
+        warm_dir = tempfile.mkdtemp(prefix="fts_maint_warm_")
+        write_index(spark, spark.read.parquet(warm_path), warm_dir,
+                    lineage_groups=1)
+        shutil.rmtree(warm_dir, ignore_errors=True)
         for n in corpus_sizes:
             path = materialize_scale_corpus(spark, n, f"/tmp/fts_scale_corpus_v2_{n}")
             docs = spark.read.parquet(path)
