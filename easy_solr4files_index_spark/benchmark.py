@@ -218,8 +218,18 @@ def run_maintenance_curve(cpus: int,
         warm_path = materialize_scale_corpus(
             spark, 5_000, "/tmp/fts_scale_corpus_v2_5000")
         warm_dir = tempfile.mkdtemp(prefix="fts_maint_warm_")
-        write_index(spark, spark.read.parquet(warm_path), warm_dir,
-                    lineage_groups=1)
+        warm_docs = spark.read.parquet(warm_path)
+        write_index(spark, warm_docs, warm_dir, lineage_groups=1)
+        # ... and the maintenance paths: the first upsert/delete/compact
+        # of a session compiles their own plans (delta kernels, tombstone
+        # scan) — without this the smallest corpus's first bag absorbed
+        # ~15s of one-time cost in every run
+        upsert_repos_physical(spark, warm_dir,
+                              warm_docs.filter(F.col("repo") == "repo00"),
+                              auto_compact=False)
+        delete_where_physical(spark, warm_dir, F.col("repo") == "repo01",
+                              "repo01", auto_compact=False)
+        compact_index(spark, warm_dir)
         shutil.rmtree(warm_dir, ignore_errors=True)
         for n in corpus_sizes:
             path = materialize_scale_corpus(spark, n, f"/tmp/fts_scale_corpus_v2_{n}")
@@ -279,7 +289,9 @@ def write_maintenance_report(m: dict, path: str = "BENCH/MAINTENANCE.md") -> Non
         "\nRegenerate with `python bench.py --maintenance-curve` "
         f"(local[{m['cpus']}], deterministic 64-repo scale corpus; "
         "auto-compact off so each cell times exactly one op; delete bags "
-        "are disjoint from upsert bags)."
+        "are disjoint from upsert bags; an untimed 5k-doc "
+        "build+upsert+delete+compact warm-up precedes the sweep so the "
+        "first timed cell doesn't absorb session plan-compile costs)."
         + (f" Cells are per-cell minima over {m['trials']} independent "
            "full runs (tools/merge_maintenance_runs.py) — this VM's "
            "window-to-window throughput swings >2x, the same discipline "
