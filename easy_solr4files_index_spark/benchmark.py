@@ -98,6 +98,19 @@ def run_suite(sf_dir: str, cpus: int) -> dict:
                                     int(0.95 * len(core7_times)))]
 
         upsert = run_incremental(spark, docs, index_dir, build_s)
+        # at this tiny SF the upsert ratio is fixed-job-overhead-bound
+        # (a 250-file bag costs ~6s of Spark job latency no matter what);
+        # the at-scale ratio comes from the committed 200k-doc cost curve
+        # (BENCH/MAINTENANCE.md, bench.py --maintenance-curve)
+        try:
+            import json as _json
+            with open("bench_maintenance.json") as fh:
+                curve = _json.load(fh)
+            big = curve["sizes"][max(curve["sizes"], key=int)]
+            upsert["upsert_vs_full_build_at_200k"] = (
+                big["fixed_bag"]["upsert_vs_full_build"])
+        except (OSError, KeyError, ValueError):
+            pass
 
         return {
             "metric": ("index-build throughput (files/sec) + query p95 latency, "

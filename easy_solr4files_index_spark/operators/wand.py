@@ -193,6 +193,31 @@ def _stored_fields_page(index: PhysicalIndex, page_narrow: DataFrame) -> DataFra
             .orderBy(*order).select(*cols))
 
 
+def _idf_map_cached(index: PhysicalIndex, terms: list[str]) -> dict[str, float]:
+    """{term: Lucene idf} for the index's terms among ``terms``, memoized
+    for the lifetime of the reader — Lucene likewise resolves term
+    statistics once per IndexReader, and every maintenance op reopens the
+    index (new PhysicalIndex), so the cache cannot outlive the n_docs/df
+    values it was computed from. Terms absent from the index are
+    remembered as absent (no repeat lookups for them either); only
+    genuinely new terms pay the pruned termstats collect."""
+    cache: dict[str, float | None] = index.__dict__.setdefault("_idf_cache", {})
+    miss = sorted(t for t in terms if t not in cache)
+    if miss:
+        tbs = sorted({term_bucket(t, index.config.term_buckets) for t in miss})
+        found = {
+            r["term"]: float(r["idf"])
+            for r in (index.termstats
+                      .filter(F.col("tbucket").isin(tbs)
+                              & F.col("term").isin(miss))
+                      .withColumn("idf", _idf_expr(index.n_docs))
+                      .select("term", "idf").collect())
+        }
+        for t in miss:
+            cache[t] = found.get(t)
+    return {t: v for t in terms if (v := cache.get(t)) is not None}
+
+
 def _score_boolean_physical(index: PhysicalIndex, clauses,
                             fq_ids: DataFrame | None) -> DataFrame:
     """(doc_id, score) for a boolean/phrase dismax query over the
@@ -212,23 +237,16 @@ def _score_boolean_physical(index: PhysicalIndex, clauses,
     phrase_clauses = [(i, c) for i, c in enumerate(clauses) if c.is_phrase]
     all_terms = sorted({t for _, c in term_clauses for t in c.terms}
                        | {t for _, c in phrase_clauses for t in c.terms})
-    tbuckets = sorted({term_bucket(t, cfg.term_buckets) for t in all_terms})
     # idf for the query's terms comes from ONE collect of the pruned
     # termstats scan (≤ |query terms| rows at any corpus size — the scan
-    # is partition- and row-group-pruned). The OR/WAND path keeps idf
-    # in-plan because its single broadcast feeds everything; here the
-    # collected map replaces THREE exchange stages (idf broadcast join,
-    # per-phrase Σidf aggregate, its crossJoin broadcast) on a
-    # latency-sensitive path. idf is still evaluated JVM-side (same
-    # _idf_expr plan), so scores are bit-identical to the in-plan join.
-    idf_map = {
-        r["term"]: float(r["idf"])
-        for r in (index.termstats
-                  .filter(F.col("tbucket").isin(tbuckets)
-                          & F.col("term").isin(all_terms))
-                  .withColumn("idf", _idf_expr(index.n_docs))
-                  .select("term", "idf").collect())
-    }
+    # is partition- and row-group-pruned), memoized per reader. The
+    # OR/WAND path keeps idf in-plan because its single broadcast feeds
+    # everything; here the collected map replaces THREE exchange stages
+    # (idf broadcast join, per-phrase Σidf aggregate, its crossJoin
+    # broadcast) on a latency-sensitive path. idf is still evaluated
+    # JVM-side (same _idf_expr plan), so scores are bit-identical to the
+    # in-plan join.
+    idf_map = _idf_map_cached(index, all_terms)
 
     parts: list[DataFrame] = []
     if term_clauses:
@@ -318,23 +336,6 @@ def _blockmax(index: PhysicalIndex, text: str | None, k: int, skip: int,
         return (index.docs_store.withColumn("score", F.lit(0.0))
                 .select("doc_id", "repo", "path", "lang", "score").limit(0)), False
 
-    # tbucket = pmod(xxhash64(term), T) computed driver-side (pure-Python
-    # XXH64, parity-tested vs the Spark expression) — zero Spark jobs for
-    # query planning; the values prune the termstats/postings scans below.
-    # idf stays IN-PLAN: the pruned termstats scan (a handful of rows,
-    # merged with any incremental df deltas) broadcasts onto the blocks —
-    # one fewer driver round-trip than collecting df first.
-    tbuckets = sorted({term_bucket(t, cfg.term_buckets) for t in terms})
-    n = float(index.n_docs)
-    ts = (index.termstats
-          .filter(F.col("tbucket").isin(tbuckets) & F.col("term").isin(terms))
-          .withColumn("idf", F.log(1.0 + (F.lit(n) - F.col("df") + 0.5)
-                                   / (F.col("df") + 0.5))))
-
-    blocks = (index.postings
-              .filter(F.col("tbucket").isin(tbuckets) & F.col("term").isin(terms))
-              .join(F.broadcast(ts.select("term", "idf")), "term"))
-
     # fq pushdown: the doc_id-only filtered-store projection semijoins the
     # DECODED posting stream before the per-doc aggregate (_score_blocks) —
     # scores are never computed for docs the fq excludes
@@ -360,6 +361,23 @@ def _blockmax(index: PhysicalIndex, text: str | None, k: int, skip: int,
                     .select("doc_id", "repo", "path", "lang", "score")
                     .limit(0)), False
         return topk(_score_boolean_physical(index, clauses, fq_ids)), False
+
+    # tbucket = pmod(xxhash64(term), T) computed driver-side (pure-Python
+    # XXH64, parity-tested vs the Spark expression) — zero Spark jobs for
+    # query planning; the values prune the termstats/postings scans below.
+    # idf stays IN-PLAN: the pruned termstats scan (a handful of rows,
+    # merged with any incremental df deltas) broadcasts onto the blocks —
+    # one fewer driver round-trip than collecting df first.
+    tbuckets = sorted({term_bucket(t, cfg.term_buckets) for t in terms})
+    n = float(index.n_docs)
+    ts = (index.termstats
+          .filter(F.col("tbucket").isin(tbuckets) & F.col("term").isin(terms))
+          .withColumn("idf", F.log(1.0 + (F.lit(n) - F.col("df") + 0.5)
+                                   / (F.col("df") + 0.5))))
+
+    blocks = (index.postings
+              .filter(F.col("tbucket").isin(tbuckets) & F.col("term").isin(terms))
+              .join(F.broadcast(ts.select("term", "idf")), "term"))
 
     # with one query term a doc appears in exactly one block — safe to
     # skip the per-doc sum even if the term turns out to have no postings

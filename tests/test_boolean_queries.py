@@ -213,3 +213,37 @@ def test_positions_optional(spark, tmp_path_factory):
     assert search_blockmax(idx, "parse merge", k=5).count() <= 5
     with pytest.raises(ValueError, match="positions"):
         search_blockmax(idx, '"parse merge"', k=5).collect()
+
+
+def test_idf_cache_skips_termstats_on_repeat(built):
+    """The per-reader idf memo (wand._idf_map_cached): a repeated
+    boolean/phrase query must not re-collect termstats — Lucene resolves
+    term statistics once per IndexReader. Absent terms are cached as
+    absent too."""
+    from easy_solr4files_index_spark.operators.wand import _idf_map_cached
+
+    pidx, _, _ = built
+    pidx.__dict__.pop("_idf_cache", None)
+    first = search_blockmax(pidx, '+"parse merge" token -license',
+                            k=15, round_score=None).collect()
+    cache = pidx.__dict__["_idf_cache"]
+    assert {"parse", "merge", "token", "license"} <= set(cache)
+    # absent term: looked up once, remembered as absent
+    m = _idf_map_cached(pidx, ["parse", "zzznotaterm"])
+    assert "zzznotaterm" not in m and cache["zzznotaterm"] is None
+
+    class _Boom:
+        def __get__(self, obj, objtype=None):
+            raise AssertionError("termstats re-collected on warm query")
+
+    orig = type(pidx).termstats
+    type(pidx).termstats = _Boom()
+    try:
+        again = search_blockmax(pidx, '+"parse merge" token -license',
+                                k=15, round_score=None).collect()
+        m2 = _idf_map_cached(pidx, ["parse", "zzznotaterm"])
+    finally:
+        type(pidx).termstats = orig
+    assert [(r["doc_id"], r["score"]) for r in again] == \
+        [(r["doc_id"], r["score"]) for r in first]
+    assert m2 == {"parse": m["parse"]}
