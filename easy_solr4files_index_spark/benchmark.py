@@ -33,6 +33,14 @@ BENCH_QUERIES: dict[str, tuple[str | None, int, int, dict | None]] = {
 }
 
 
+# the round-1/2 reference query set — query_p95_core7_sec is computed
+# over exactly these names so the metric stays comparable across rounds
+# (an explicit set, not a name-ordering rule: "q10_..." sorts before
+# "q7_..." lexicographically)
+_CORE7 = frozenset(["q1_single", "q2_multi", "q3_hot", "q4_filtered",
+                    "q5_filters2", "q6_page", "q7_matchall"])
+
+
 def _sf_of(sf_dir: str) -> float:
     base = os.path.basename(sf_dir.rstrip("/"))
     try:
@@ -89,7 +97,7 @@ def run_suite(sf_dir: str, cpus: int) -> dict:
             # the consistent estimator of engine latency (BENCH/BASELINE.md)
             per_query[name] = round(min(times), 4)
             all_times += times
-            if name <= "q7_matchall":  # q1..q7: the round-1/2 query set
+            if name in _CORE7:  # the round-1/2 query set
                 core7_times += times
         all_times.sort()
         core7_times.sort()
@@ -174,7 +182,10 @@ def run_incremental(spark, docs, index_dir: str, full_build_s: float) -> dict:
      .withColumn("content", F.concat(F.col("content"), F.lit(" streamed")))
      .write.mode("overwrite").parquet(src))
     t0 = time.perf_counter()
-    stream_upsert(spark, src, index_dir, ckpt)
+    # schema=docs.schema: the source batch carries the ACL columns the
+    # base index was built with; reading it through the narrower default
+    # DOCS_SCHEMA would append docs_store files missing those columns
+    stream_upsert(spark, src, index_dir, ckpt, schema=docs.schema)
     stream_s = time.perf_counter() - t0
     shutil.rmtree(src, ignore_errors=True)
     shutil.rmtree(ckpt, ignore_errors=True)

@@ -44,8 +44,12 @@ from ..functions.tokenizer import LUCENE_STOPWORDS, tokenize_py
 
 SHOULD, MUST, MUST_NOT = "should", "must", "must_not"
 
-# a quoted segment (with optional glued sign), or a bare run of non-space
-_SEGMENT_RE = re.compile(r'([+-]?)"([^"]*)"|(\S+)')
+# a quoted segment (with optional glued sign), or a bare run of
+# non-space non-quote chars — the bare-word branch must NOT consume a
+# quote, else a balanced phrase glued to a preceding token
+# (`foo"bar baz"`) would lose its positional semantics (quotes are
+# balanced here: odd counts were stripped before matching)
+_SEGMENT_RE = re.compile(r'([+-]?)"([^"]*)"|([^\s"]+)')
 
 
 @dataclass(frozen=True)

@@ -47,6 +47,16 @@ def assign_doc_ids(docs: DataFrame, num_partitions: int | None = None) -> DataFr
     per-partition-index RangePartitioner sampling seed), so the observed
     pids agree without any cache.
 
+    PRECONDITION: the input plan must be deterministic across executions
+    (a parquet/Iceberg scan plus narrow projections — every caller in
+    this engine). An upstream shuffle whose output ORDER varies between
+    executions (e.g. a hash aggregate re-run under different spill
+    pressure) could move RangePartitioner's sampled boundaries between
+    the two passes and silently mis-offset ranks; write_index guards
+    against that class of corruption with a zero-cost invariant riding
+    the docs_store Observation (sum/min/max of doc_id must match the
+    dense 0..n-1 series).
+
     Content therefore moves through exactly ONE shuffle: the join back
     (hash by KEY). At 10^12 rows the mapping side is far too large to
     broadcast -- the shuffled equi-join IS the scalable shape, and AQE
@@ -79,16 +89,18 @@ def assign_doc_ids(docs: DataFrame, num_partitions: int | None = None) -> DataFr
         .select(*KEY, (F.coalesce("_offset", F.lit(0)) + F.col("_rn") - 1)
                 .cast("long").alias("doc_id"))
     )
-    # keys are unique (module precondition, see header), so the join is 1:1
-    return docs.join(mapping, KEY).select(*docs.columns, "doc_id")
+    # keys are unique (module precondition, see header), so the join is
+    # 1:1. Null-SAFE equality: a plain equi-join would silently DROP any
+    # row with a null key component (null never equals null) — those rows
+    # rank deterministically (nulls first in the range sort), so they
+    # must survive the join-back too. Both sides descend from the same
+    # plan (self-join), so qualify columns through explicit aliases.
+    d, m = docs.alias("_docs"), mapping.alias("_map")
+    cond = None
+    for kcol in KEY:
+        c = F.col(f"_docs.{kcol}").eqNullSafe(F.col(f"_map.{kcol}"))
+        cond = c if cond is None else (cond & c)
+    return (d.join(m, cond)
+            .select(*[F.col(f"_docs.{c}") for c in docs.columns],
+                    F.col("_map.doc_id")))
 
-
-def release_docid_cache(docs_with_ids: DataFrame) -> None:
-    """Kept for API compatibility: assign_doc_ids no longer persists
-    anything (see its docstring), so there is nothing to release."""
-    cached = getattr(docs_with_ids, "_docid_range_cache", None)
-    if cached is not None:
-        try:
-            cached.unpersist()
-        except Exception:
-            pass

@@ -30,7 +30,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark import StorageLevel
 
 from ..functions.tokenizer import LUCENE_STOPWORDS, make_tokenize_udf, tokenize_expr
-from .docids import assign_doc_ids, release_docid_cache
+from .docids import assign_doc_ids
 
 
 @dataclass(frozen=True)
@@ -147,11 +147,6 @@ def build_index(spark: SparkSession, docs: DataFrame, config: IndexConfig | None
     ).collect()[0]
     n_docs = g["n"] or 0
     avgdl = float(g["avgdl"] or 0.0)
-    if persist:
-        # the agg above materialized the enriched cache; the docid-range
-        # cache underneath it is now redundant executor memory
-        release_docid_cache(with_ids)
-
     return FtsIndex(spark=spark, config=config, docs_store=docs_store, tf=tf,
                     termstats=termstats, n_docs=n_docs, avgdl=avgdl,
                     cached=enriched if persist else None, positions=positions)

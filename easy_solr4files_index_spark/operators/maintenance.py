@@ -75,7 +75,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ..functions.codec import encode_postings, varbyte_decode
-from .docids import assign_doc_ids, release_docid_cache
+from .docids import assign_doc_ids
 from .index_build import enrich_docs
 from .postings import (POSTINGS_SCHEMA, PhysicalIndex, _append_lineage,
                        _make_encoder, _tbucket, gen_name, merge_ranges,
@@ -298,6 +298,20 @@ def append_docs_physical(spark: SparkSession, index_dir: str,
     with_ids = assign_doc_ids(new_docs).withColumn(
         "doc_id", (F.col("doc_id") + base).cast("long"))
     enriched = enrich_docs(with_ids, cfg).persist()
+    # schema guard: an appended segment with a different column set than
+    # the existing store (e.g. a batch read through a narrower stream
+    # schema, missing the ACL columns) would make spark.read.parquet pick
+    # an arbitrary footer's schema — filterable columns silently vanish,
+    # and a later compact rewrites the store with whichever won. Fail
+    # loudly instead (footer-only read, no data scan).
+    store_cols = set(spark.read.parquet(idx.path_of("docs_store")).columns)
+    seg_cols = set(enriched.columns)
+    if seg_cols != store_cols:
+        enriched.unpersist()
+        raise ValueError(
+            "appended batch schema does not match the existing docs_store: "
+            f"missing={sorted(store_cols - seg_cols)}, "
+            f"extra={sorted(seg_cols - store_cols)}")
     try:
         # tokens ride into docs_store like the base build writes them
         # (postings.write_index) — compact re-derives positions from them.
@@ -370,7 +384,6 @@ def append_docs_physical(spark: SparkSession, index_dir: str,
         tf.unpersist()
     finally:
         enriched.unpersist()
-        release_docid_cache(with_ids)
 
     segs = _segments(meta)
     seg_end = base + n_new

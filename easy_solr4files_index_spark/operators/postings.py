@@ -55,7 +55,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from .docids import assign_doc_ids, release_docid_cache
+from .docids import assign_doc_ids
 from .index_build import FtsIndex, IndexConfig, enrich_docs
 
 POSTINGS_SCHEMA = ("term string, bucket long, n int, doc_ids binary, tfs binary, "
@@ -344,11 +344,28 @@ def write_index(spark: SparkSession, docs: DataFrame, index_dir: str,
         observed = docs_store.observe(
             obs, F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl"),
             F.sum("dl").alias("dl_sum"),
-            F.expr("bit_xor(xxhash64(repo, path, commit))").alias("h"))
+            F.expr("bit_xor(xxhash64(repo, path, commit))").alias("h"),
+            F.sum("doc_id").alias("id_sum"), F.min("doc_id").alias("id_min"),
+            F.max("doc_id").alias("id_max"))
         observed.write.mode("overwrite").parquet(os.path.join(index_dir, "docs_store"))
         stats = obs.get
         n_docs, avgdl = stats["n"] or 0, float(stats["avgdl"] or 0.0)
         dl_sum = int(stats["dl_sum"] or 0)
+        # docID-density tripwire (rides the write job — zero extra scans):
+        # ids must be exactly the dense series 0..n-1. Guards the
+        # assign_doc_ids two-pass determinism precondition (docids.py) —
+        # a duplicated/skipped rank from a non-deterministic input plan
+        # fails the build loudly instead of corrupting the index, and the
+        # unmarked lineage stage makes the re-run recompute docs_store.
+        if n_docs and (int(stats["id_min"]) != 0
+                       or int(stats["id_max"]) != n_docs - 1
+                       or int(stats["id_sum"]) != n_docs * (n_docs - 1) // 2):
+            raise RuntimeError(
+                "docID assignment produced a non-dense id space "
+                f"(n={n_docs}, min={stats['id_min']}, max={stats['id_max']}, "
+                f"sum={stats['id_sum']}): the input plan re-executed "
+                "non-deterministically between the rank passes — "
+                "materialize the input (checkpoint/write) and rebuild")
         if fingerprint is None:
             fingerprint = f"{stats['n']}:{stats['h']}"
         _append_lineage(spark, index_dir, "docs_store", 0, fingerprint, "done", t0)
@@ -442,11 +459,9 @@ def write_index(spark: SparkSession, docs: DataFrame, index_dir: str,
         _mark(f"postings group {gi}")
         if fail_after_group is not None and gi + 1 >= fail_after_group:
             tfb.unpersist()
-            release_docid_cache(with_ids)
             raise RuntimeError(f"injected failure after postings group {gi}")
 
     tfb.unpersist()
-    release_docid_cache(with_ids)
 
     # termstats AND per-partition metrics DERIVED from the written block
     # metadata in ONE scan: per (term, tbucket) the block rows aggregate

@@ -29,10 +29,16 @@ def delete_where(index: FtsIndex, predicate: F.Column) -> FtsIndex:
     docs_store = index.docs_store.join(doomed, "doc_id", "left_anti").persist()
     tf = index.tf.join(doomed, "doc_id", "left_anti").persist()
     termstats = tf.groupBy("term").agg(F.count("*").alias("df"))
+    # phrase queries read index.positions — anti-filter it by the same
+    # doomed set (it is a lazy plan; the filter costs nothing until a
+    # phrase query runs, and then it is the same semijoin shape as tf)
+    positions = (index.positions.join(doomed, "doc_id", "left_anti")
+                 if index.positions is not None else None)
     g = docs_store.agg(F.count("*").alias("n"), F.avg("dl").alias("avgdl")).collect()[0]
     return FtsIndex(spark=index.spark, config=index.config, docs_store=docs_store,
                     tf=tf, termstats=termstats,
-                    n_docs=g["n"] or 0, avgdl=float(g["avgdl"] or 0.0))
+                    n_docs=g["n"] or 0, avgdl=float(g["avgdl"] or 0.0),
+                    positions=positions)
 
 
 def delete_by_repo(index: FtsIndex, repo: str) -> FtsIndex:

@@ -193,6 +193,25 @@ def _stored_fields_page(index: PhysicalIndex, page_narrow: DataFrame) -> DataFra
             .orderBy(*order).select(*cols))
 
 
+def _pruned_blocks(index: PhysicalIndex, terms: list[str]) -> DataFrame:
+    """Term/tbucket-pruned postings blocks with Lucene idf joined IN-PLAN
+    from the equally-pruned termstats scan — the shared front of every
+    OR/WAND scoring path (_blockmax, search_with_found). tbucket =
+    pmod(xxhash64(term), T) is computed driver-side (pure-Python XXH64,
+    parity-tested vs the Spark expression): zero Spark jobs for query
+    planning, and the values prune BOTH scans (partition dirs + parquet
+    row-group stats). Keeping idf in-plan (vs collecting df first) saves
+    a driver round-trip — the single broadcast feeds everything."""
+    cfg = index.config
+    tbuckets = sorted({term_bucket(t, cfg.term_buckets) for t in terms})
+    ts = (index.termstats
+          .filter(F.col("tbucket").isin(tbuckets) & F.col("term").isin(terms))
+          .withColumn("idf", _idf_expr(index.n_docs)))
+    return (index.postings
+            .filter(F.col("tbucket").isin(tbuckets) & F.col("term").isin(terms))
+            .join(F.broadcast(ts.select("term", "idf")), "term"))
+
+
 def _idf_map_cached(index: PhysicalIndex, terms: list[str]) -> dict[str, float]:
     """{term: Lucene idf} for the index's terms among ``terms``, memoized
     for the lifetime of the reader — Lucene likewise resolves term
@@ -362,22 +381,7 @@ def _blockmax(index: PhysicalIndex, text: str | None, k: int, skip: int,
                     .limit(0)), False
         return topk(_score_boolean_physical(index, clauses, fq_ids)), False
 
-    # tbucket = pmod(xxhash64(term), T) computed driver-side (pure-Python
-    # XXH64, parity-tested vs the Spark expression) — zero Spark jobs for
-    # query planning; the values prune the termstats/postings scans below.
-    # idf stays IN-PLAN: the pruned termstats scan (a handful of rows,
-    # merged with any incremental df deltas) broadcasts onto the blocks —
-    # one fewer driver round-trip than collecting df first.
-    tbuckets = sorted({term_bucket(t, cfg.term_buckets) for t in terms})
-    n = float(index.n_docs)
-    ts = (index.termstats
-          .filter(F.col("tbucket").isin(tbuckets) & F.col("term").isin(terms))
-          .withColumn("idf", F.log(1.0 + (F.lit(n) - F.col("df") + 0.5)
-                                   / (F.col("df") + 0.5))))
-
-    blocks = (index.postings
-              .filter(F.col("tbucket").isin(tbuckets) & F.col("term").isin(terms))
-              .join(F.broadcast(ts.select("term", "idf")), "term"))
+    blocks = _pruned_blocks(index, terms)
 
     # with one query term a doc appears in exactly one block — safe to
     # skip the per-doc sum even if the term turns out to have no postings
@@ -432,8 +436,7 @@ def _blockmax(index: PhysicalIndex, text: str | None, k: int, skip: int,
             # page must be pinned locally before the persisted blocks are
             # released by the finally below
             rows = topk(phase_a).collect()
-            schema = "doc_id long, repo string, path string, lang string, score double"
-            return index.spark.createDataFrame(rows, schema), True
+            return index.spark.createDataFrame(rows, _PAGE_SCHEMA), True
         # survivors stay distributed (no driver collect of bucket ids):
         # a doc's postings all live in its one bucket, so phases score
         # disjoint doc sets and a plain union is exact.
@@ -493,16 +496,8 @@ def search_with_found(index: PhysicalIndex, text: str | None = None,
     else:
         if not terms:
             return empty, 0
-        tbuckets = sorted({term_bucket(t, cfg.term_buckets) for t in terms})
-        n = float(index.n_docs)
-        ts = (index.termstats
-              .filter(F.col("tbucket").isin(tbuckets) & F.col("term").isin(terms))
-              .withColumn("idf", F.log(1.0 + (F.lit(n) - F.col("df") + 0.5)
-                                       / (F.col("df") + 0.5))))
-        blocks = (index.postings
-                  .filter(F.col("tbucket").isin(tbuckets) & F.col("term").isin(terms))
-                  .join(F.broadcast(ts.select("term", "idf")), "term"))
-        scored = _score_blocks(blocks, cfg.k1, cfg.b, index.avgdl,
+        scored = _score_blocks(_pruned_blocks(index, terms),
+                               cfg.k1, cfg.b, index.avgdl,
                                single_term=len(terms) == 1,
                                tombstones=index.tombstones,
                                fq_ids=fq_ids).persist()

@@ -247,3 +247,28 @@ def test_idf_cache_skips_termstats_on_repeat(built):
     assert [(r["doc_id"], r["score"]) for r in again] == \
         [(r["doc_id"], r["score"]) for r in first]
     assert m2 == {"parse": m["parse"]}
+
+
+def test_phrase_after_logical_delete_matches_fresh_build(spark):
+    """update.delete_where must carry the (anti-filtered) positions plan
+    into the new FtsIndex: a phrase query after a logical delete used to
+    crash on positions=None, and a naive forward would resurrect deleted
+    docs in phrase results."""
+    from pyspark.sql import functions as F
+
+    from easy_solr4files_index_spark.operators.query import search
+    from easy_solr4files_index_spark.operators.update import delete_by_repo
+
+    docs = synth_code_docs(spark, n_docs=120, seed=7)
+    repo0 = docs.select("repo").orderBy("repo").limit(1).collect()[0]["repo"]
+    idx = build_index(spark, docs, CFG)
+    idx2 = delete_by_repo(idx, repo0)
+    got = search(idx2, '"parse merge" token', k=100000,
+                 round_score=None).collect()
+    fresh = build_index(spark, docs.filter(F.col("repo") != repo0), CFG)
+    exp = search(fresh, '"parse merge" token', k=100000,
+                 round_score=None).collect()
+    assert sorted((r["repo"], r["path"], r["score"]) for r in got) == \
+        sorted((r["repo"], r["path"], r["score"]) for r in exp)
+    assert all(r["repo"] != repo0 for r in got)
+    idx.unpersist(); idx2.unpersist(); fresh.unpersist()

@@ -231,17 +231,14 @@ def test_docid_assignment_leaves_no_cache(spark, corpus):
     """assign_doc_ids ranks a keys-only projection and joins back — it no
     longer persists the raw corpus at all (the round-3 scaling fix: the
     full-row cache cost MORE at 8 cores than at 2). The persistent-RDD map
-    must be untouched, and release_docid_cache stays an idempotent no-op."""
-    from easy_solr4files_index_spark.operators.docids import (
-        assign_doc_ids, release_docid_cache)
+    must be untouched."""
+    from easy_solr4files_index_spark.operators.docids import assign_doc_ids
 
     before = spark.sparkContext._jsc.getPersistentRDDs().size()
     with_ids = assign_doc_ids(corpus)
     with_ids.count()
     after = spark.sparkContext._jsc.getPersistentRDDs().size()
     assert after == before, f"assign_doc_ids persisted something: {before} -> {after}"
-    release_docid_cache(with_ids)  # idempotent no-op
-    release_docid_cache(with_ids)
 
 
 def test_no_orphaned_persistent_rdds_after_release(spark, corpus):
