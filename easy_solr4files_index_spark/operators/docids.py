@@ -8,19 +8,36 @@ AND across cluster sizes (north_rule).
 
 ``monotonically_increasing_id`` is partition-layout-dependent and a
 ``row_number() OVER (ORDER BY ...)`` collapses to a single partition —
-both wrong at 10^12 rows. Instead, a two-pass prefix-sum scheme:
+both wrong at 10^12 rows. Instead, a bucketed prefix-sum scheme whose
+bucket id is a PURE FUNCTION OF THE ROW:
 
-  1. range-partition by the key and sort within partitions (a total
-     order split across P partitions — Spark's distributed sort, no
-     single-task bottleneck);
-  2. count rows per partition (tiny job), exclusive prefix-sum on the
+  1. pick P-1 range boundaries ONCE on the driver, from a deterministic
+     hash-mod sample of the keys (no randomness: the sample is
+     ``xxhash64(key) % S == 0``, a property of the data);
+  2. bucket = searchsorted(boundaries, key), evaluated as a Catalyst
+     when-chain over struct comparisons — every execution of any plan
+     containing it agrees, because nothing is resampled;
+  3. count rows per bucket (tiny job), exclusive prefix-sum on the
      driver (P integers);
-  3. doc_id = offset[partition] + (local row_number - 1).
+  4. doc_id = offset[bucket] + (row_number within bucket, ordered by
+     key) - 1  ==  the row's global rank in (repo, path, commit) order.
 
-The id equals the row's global rank in (repo, path, commit) order, so it
-does NOT depend on where the range boundaries fell — RangePartitioner's
-sampled boundaries may differ between runs/cluster sizes, but rank is
-rank. Keys are unique, so no tie straddles a boundary ambiguously.
+Why not ``repartitionByRange`` + ``spark_partition_id()``: Spark's
+RangePartitioner seeds its reservoir sampling with the RDD id
+(``sketch`` uses ``byteswap32(idx ^ (rdd.id << 16))``), and every
+action materializes fresh RDD ids — so two executions of the same
+range-shuffle plan draw DIFFERENT boundaries whenever partitions hold
+more rows than the sample size. A count pass + rank pass built on it
+silently disagree at scale (measured at 200k docs: ~5,700 duplicated
+ids per build, caught by write_index's docID-density tripwire). The
+round-2 fix was persisting the shuffled rows (pins one execution, but
+caching full rows anti-scaled); the hash-mod-sampled literal
+boundaries make both passes agree by construction with nothing cached.
+
+Keys are unique (module precondition), so no tie straddles a boundary
+ambiguously; null key components sort first (Spark null ordering) and
+bucket by their empty-string coalesce — ids stay dense and
+deterministic either way.
 """
 
 from __future__ import annotations
@@ -29,38 +46,56 @@ from pyspark.sql import DataFrame, Window, functions as F
 
 KEY = ["repo", "path", "commit"]
 
+# target driver-side sample size per range bucket: boundaries drawn from
+# ~128 sampled keys per bucket are balanced to a few percent, and the
+# driver holds only ~128*P keys at ANY corpus size (P buckets)
+_SAMPLE_PER_BUCKET = 128
+
+
+def _sort_key(row) -> tuple:
+    """Driver-side ordering matching Spark's (nulls FIRST, then value —
+    UTF-8 byte order equals code-point order, which Python str compare
+    follows for the BMP identifiers/paths this engine keys on)."""
+    return tuple((k is not None, k if k is not None else "") for k in row)
+
+
+def _bucket_expr(boundaries: list[tuple]) -> F.Column:
+    """searchsorted(boundaries, key) as a when-chain over struct
+    comparisons — bucket i holds keys in [b_{i-1}, b_i). Null key
+    components are coalesced to '' for the comparison only (nulls sort
+    first, '' is the minimal string — same bucket either way)."""
+    skey = F.struct(*[F.coalesce(F.col(k), F.lit("")).alias(k) for k in KEY])
+    expr = F.lit(len(boundaries))
+    # build the chain back-to-front: when(skey < b0, 0) must win first
+    for i in range(len(boundaries) - 1, -1, -1):
+        b = F.struct(*[F.lit(v if v is not None else "").alias(k)
+                       for k, v in zip(KEY, boundaries[i])])
+        expr = F.when(skey < b, i).otherwise(expr)
+    return expr
+
 
 def assign_doc_ids(docs: DataFrame, num_partitions: int | None = None) -> DataFrame:
     """Returns docs + ``doc_id bigint`` = dense global rank by KEY.
 
     The rank is computed on a KEYS-ONLY projection (repo, path, commit --
     tens of bytes per row, column-pruned at the parquet scan) and joined
-    back to the full rows by key hash. Earlier revisions range-shuffled
-    and ``.persist()``-ed the FULL rows (content included) so the count
-    job and the rank job would observe one partition layout; measured at
+    back to the full rows by key. Earlier revisions range-shuffled and
+    ``.persist()``-ed the FULL rows (content included) so the count job
+    and the rank job would observe one partition layout; measured at
     200k docs that cache was the build's dominant Amdahl term (cache
     population + read cost ~22s at local[2] but ~47s at local[8]: block
     manager contention under concurrent columnar cache writes -- the same
-    pathology as round 2's tf cache). Keys-only evaluation is cheap
-    enough to simply run twice (count pass + rank pass); both passes
-    evaluate the identical deterministic plan (same parquet splits, same
-    per-partition-index RangePartitioner sampling seed), so the observed
-    pids agree without any cache.
+    pathology as round 2's tf cache). With literal hash-mod-sampled
+    boundaries (module header) the bucket id is a pure row function, so
+    the keys-only plan can simply run in several jobs -- every execution
+    agrees, nothing is cached, and write_index's docID-density tripwire
+    (sum/min/max of doc_id == the dense 0..n-1 series, observed on the
+    docs_store write) guards the invariant end-to-end.
 
-    PRECONDITION: the input plan must be deterministic across executions
-    (a parquet/Iceberg scan plus narrow projections — every caller in
-    this engine). An upstream shuffle whose output ORDER varies between
-    executions (e.g. a hash aggregate re-run under different spill
-    pressure) could move RangePartitioner's sampled boundaries between
-    the two passes and silently mis-offset ranks; write_index guards
-    against that class of corruption with a zero-cost invariant riding
-    the docs_store Observation (sum/min/max of doc_id must match the
-    dense 0..n-1 series).
-
-    Content therefore moves through exactly ONE shuffle: the join back
-    (hash by KEY). At 10^12 rows the mapping side is far too large to
-    broadcast -- the shuffled equi-join IS the scalable shape, and AQE
-    picks sort-merge vs shuffled-hash from the actual sizes.
+    Content moves through exactly ONE shuffle: the join back (hash by
+    KEY). At 10^12 rows the mapping side is far too large to broadcast --
+    the shuffled equi-join IS the scalable shape, and AQE picks
+    sort-merge vs shuffled-hash from the actual sizes.
     """
     spark = docs.sparkSession
     if num_partitions is None:
@@ -69,11 +104,31 @@ def assign_doc_ids(docs: DataFrame, num_partitions: int | None = None) -> DataFr
         # range partitions give the scheduler slack to rebalance (the
         # prefix-sum cost is P integers on the driver -- negligible)
         num_partitions = max(4 * spark.sparkContext.defaultParallelism, 8)
-    ranged_keys = (docs.select(*KEY)
-                   .repartitionByRange(num_partitions, *KEY)
-                   .withColumn("_pid", F.spark_partition_id()))
+
+    keys = docs.select(*KEY)
+    n_total = keys.count()
+    # deterministic sample: a key is sampled iff xxhash64(key) % S == 0 --
+    # a property of the data, identical in every execution. S targets
+    # ~_SAMPLE_PER_BUCKET keys per bucket on the driver.
+    s_mod = max(1, n_total // (_SAMPLE_PER_BUCKET * num_partitions))
+    sample = keys if s_mod == 1 else keys.filter(
+        F.pmod(F.xxhash64(*KEY), F.lit(s_mod)) == 0)
+    skeys = sorted((tuple(r) for r in sample.collect()), key=_sort_key)
+    if len(skeys) > 1 and num_partitions > 1:
+        step = len(skeys) / num_partitions
+        idxs = sorted({int((i + 1) * step) for i in range(num_partitions - 1)
+                       if int((i + 1) * step) < len(skeys)})
+        boundaries = [skeys[i] for i in idxs]
+        # dedupe equal boundaries (duplicate keys are a precondition
+        # violation, but equal SAMPLED boundaries just merge buckets)
+        boundaries = [b for j, b in enumerate(boundaries)
+                      if j == 0 or b != boundaries[j - 1]]
+    else:
+        boundaries = []
+
+    bucketed = keys.withColumn("_pid", _bucket_expr(boundaries))
     counts = {r["_pid"]: r["cnt"] for r in
-              ranged_keys.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()}
+              bucketed.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()}
     offsets, acc = {}, 0
     for pid in sorted(counts):
         offsets[pid] = acc
@@ -84,7 +139,7 @@ def assign_doc_ids(docs: DataFrame, num_partitions: int | None = None) -> DataFr
     )
     w = Window.partitionBy("_pid").orderBy(*KEY)
     mapping = (
-        ranged_keys.withColumn("_rn", F.row_number().over(w))
+        bucketed.withColumn("_rn", F.row_number().over(w))
         .join(F.broadcast(off_df), "_pid", "left")
         .select(*KEY, (F.coalesce("_offset", F.lit(0)) + F.col("_rn") - 1)
                 .cast("long").alias("doc_id"))
@@ -92,9 +147,9 @@ def assign_doc_ids(docs: DataFrame, num_partitions: int | None = None) -> DataFr
     # keys are unique (module precondition, see header), so the join is
     # 1:1. Null-SAFE equality: a plain equi-join would silently DROP any
     # row with a null key component (null never equals null) — those rows
-    # rank deterministically (nulls first in the range sort), so they
-    # must survive the join-back too. Both sides descend from the same
-    # plan (self-join), so qualify columns through explicit aliases.
+    # rank deterministically, so they must survive the join-back too.
+    # Both sides descend from the same plan (self-join), so qualify
+    # columns through explicit aliases.
     d, m = docs.alias("_docs"), mapping.alias("_map")
     cond = None
     for kcol in KEY:
@@ -103,4 +158,3 @@ def assign_doc_ids(docs: DataFrame, num_partitions: int | None = None) -> DataFr
     return (d.join(m, cond)
             .select(*[F.col(f"_docs.{c}") for c in docs.columns],
                     F.col("_map.doc_id")))
-

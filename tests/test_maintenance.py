@@ -254,3 +254,34 @@ def test_no_orphaned_persistent_rdds_after_release(spark, corpus):
     idx.unpersist()
     after = spark.sparkContext._jsc.getPersistentRDDs().size()
     assert after == before, f"leaked persistent RDDs: {before} -> {after}"
+
+
+def test_docid_density_and_determinism_with_sampled_boundaries(spark):
+    """The round-3 scale bug: repartitionByRange's reservoir sample is
+    seeded with the RDD id, so two executions of the same range shuffle
+    drew different boundaries and the count/rank passes disagreed
+    (~5,700 duplicated doc_ids per 200k build). The fix derives the
+    bucket from literal hash-mod-sampled boundaries — a pure row
+    function. This exercises the sampled path (s_mod > 1 via a small
+    num_partitions against 10k rows) and asserts ids are the dense
+    0..n-1 series and identical across two independent calls."""
+    from pyspark.sql import functions as F
+
+    from easy_solr4files_index_spark.operators.docids import assign_doc_ids
+
+    docs = synth_code_docs(spark, n_docs=10_000, seed=5)
+    checksums = []
+    for _ in range(2):
+        with_ids = assign_doc_ids(docs, num_partitions=8)
+        g = with_ids.agg(
+            F.count("*").alias("n"),
+            F.min("doc_id").alias("mn"), F.max("doc_id").alias("mx"),
+            F.sum("doc_id").alias("s"),
+            F.expr("bit_xor(xxhash64(repo, path, commit, doc_id))").alias("h"),
+        ).collect()[0]
+        n = g["n"]
+        assert n == 10_000
+        assert (g["mn"], g["mx"], g["s"]) == (0, n - 1, n * (n - 1) // 2), \
+            "doc_ids not the dense 0..n-1 series"
+        checksums.append(g["h"])
+    assert checksums[0] == checksums[1], "assignment not deterministic"
