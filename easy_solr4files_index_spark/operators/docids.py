@@ -59,19 +59,55 @@ def _sort_key(row) -> tuple:
     return tuple((k is not None, k if k is not None else "") for k in row)
 
 
+# past this boundary count the when-chain's codegen cost outgrows its
+# benefit (and Catalyst expression trees have practical depth limits at
+# cluster-scale P) — switch to the Arrow-vectorized searchsorted
+_MAX_WHEN_CHAIN = 256
+
+# \x01 never occurs in repo/path/commit values (identifiers, POSIX paths,
+# hex digests), so concat with it preserves tuple lexicographic order
+_SEP = "\x01"
+
+
 def _bucket_expr(boundaries: list[tuple]) -> F.Column:
-    """searchsorted(boundaries, key) as a when-chain over struct
-    comparisons — bucket i holds keys in [b_{i-1}, b_i). Null key
-    components are coalesced to '' for the comparison only (nulls sort
-    first, '' is the minimal string — same bucket either way)."""
-    skey = F.struct(*[F.coalesce(F.col(k), F.lit("")).alias(k) for k in KEY])
-    expr = F.lit(len(boundaries))
-    # build the chain back-to-front: when(skey < b0, 0) must win first
-    for i in range(len(boundaries) - 1, -1, -1):
-        b = F.struct(*[F.lit(v if v is not None else "").alias(k)
-                       for k, v in zip(KEY, boundaries[i])])
-        expr = F.when(skey < b, i).otherwise(expr)
-    return expr
+    """searchsorted(boundaries, key): bucket i holds keys in
+    [b_{i-1}, b_i). Null key components are coalesced to '' for the
+    comparison only (nulls sort first, '' is the minimal string — same
+    bucket either way).
+
+    Two physical forms, same function: a Catalyst when-chain over struct
+    comparisons while the chain stays codegen-friendly (local / small-P
+    runs), else a pandas UDF doing np.searchsorted over the broadcast
+    boundary list (cluster-scale P: 10^12 rows at 4x-cores buckets means
+    ~10^5 boundaries — far past expression-tree limits, trivial for a
+    vectorized binary search)."""
+    if len(boundaries) <= _MAX_WHEN_CHAIN:
+        skey = F.struct(*[F.coalesce(F.col(k), F.lit("")).alias(k) for k in KEY])
+        expr = F.lit(len(boundaries))
+        # build the chain back-to-front: when(skey < b0, 0) must win first
+        for i in range(len(boundaries) - 1, -1, -1):
+            b = F.struct(*[F.lit(v if v is not None else "").alias(k)
+                           for k, v in zip(KEY, boundaries[i])])
+            expr = F.when(skey < b, i).otherwise(expr)
+        return expr
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    flat = np.array([_SEP.join(v if v is not None else "" for v in b)
+                     for b in boundaries], dtype=object)
+
+    def _bucket_fn(repo, path, commit):
+        key = (repo.fillna("") + _SEP + path.fillna("")
+               + _SEP + commit.fillna(""))
+        return pd.Series(np.searchsorted(flat, key.to_numpy(dtype=object),
+                                         side="right"), dtype="int32")
+
+    # call-form (no type hints): `from __future__ import annotations`
+    # stringifies hints beyond what pandas_udf's inference resolves
+    _bucket = pandas_udf(_bucket_fn, "int")
+    return _bucket(*[F.col(k) for k in KEY])
 
 
 def assign_doc_ids(docs: DataFrame, num_partitions: int | None = None) -> DataFrame:

@@ -285,3 +285,20 @@ def test_docid_density_and_determinism_with_sampled_boundaries(spark):
             "doc_ids not the dense 0..n-1 series"
         checksums.append(g["h"])
     assert checksums[0] == checksums[1], "assignment not deterministic"
+
+
+def test_bucket_expr_udf_path_matches_when_chain(spark, monkeypatch):
+    """The two physical forms of _bucket_expr (Catalyst when-chain vs the
+    Arrow searchsorted fallback for cluster-scale boundary counts) must
+    bucket identically — doc_ids would silently shift otherwise."""
+    from pyspark.sql import functions as F
+
+    from easy_solr4files_index_spark.operators import docids
+
+    docs = synth_code_docs(spark, n_docs=2_000, seed=9)
+    a = docids.assign_doc_ids(docs, num_partitions=8)
+    ha = a.agg(F.expr("bit_xor(xxhash64(repo, path, commit, doc_id))")).collect()[0][0]
+    monkeypatch.setattr(docids, "_MAX_WHEN_CHAIN", 0)  # force the UDF form
+    b = docids.assign_doc_ids(docs, num_partitions=8)
+    hb = b.agg(F.expr("bit_xor(xxhash64(repo, path, commit, doc_id))")).collect()[0][0]
+    assert ha == hb
