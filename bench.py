@@ -264,6 +264,15 @@ def run_scaling(sf_dir: str, n_low: int | None = None, n_high: int | None = None
     q_low = results[n_low]["query_p95_sec"]
     q_high = results[n_high]["query_p95_sec"]
     calib = _cpu_calibration(n_low, n_high)
+    norm = (round(build_eff / calib["ceiling"], 3)
+            if calib.get("ceiling") else None)
+    # Window-consistency check: the Spark build cannot genuinely scale
+    # BETTER than the host's own ceiling. If the normalized value exceeds
+    # 1, the calibration and the build legs sampled different co-tenant
+    # contention windows (this hypervisor swings >2x between ten-minute
+    # windows) and the normalization is evidence of nothing — flag it so
+    # the report never publishes "criterion met" off a broken window.
+    window_ok = norm is None or norm <= 1.05
     return {
         "sf": _sf_of(sf_dir),
         "n_low": n_low, "n_high": n_high,
@@ -273,8 +282,8 @@ def run_scaling(sf_dir: str, n_low: int | None = None, n_high: int | None = None
         "hw_ceiling": calib,
         # normalize to the BINDING host ceiling: min(compute, bandwidth) —
         # an index build is data movement, so the bandwidth leg usually binds
-        "build_efficiency_vs_hw": round(build_eff / calib["ceiling"], 3)
-        if calib.get("ceiling") else None,
+        "build_efficiency_vs_hw": norm,
+        "calibration_window_consistent": window_ok,
         "query_p95_sec": {str(n_low): q_low, str(n_high): q_high},
         "results": results,
     }
@@ -292,9 +301,22 @@ def write_scaling_report(s: dict, path: str = "BENCH/BASELINE.md") -> None:
         if i >= 0:
             tail = "\n" + old[i:]
     met = s["build_scaling_efficiency"] >= 0.8
-    met_norm = (s.get("build_efficiency_vs_hw") or 0) >= 0.8
+    window_ok = s.get("calibration_window_consistent", True)
+    met_norm = window_ok and (s.get("build_efficiency_vs_hw") or 0) >= 0.8
     if met:
         verdict_line = "The >=0.8 criterion is MET in this run (raw)."
+    elif not window_ok:
+        verdict_line = (
+            f"This run is NOT usable as criterion evidence: measured raw "
+            f"efficiency {s['build_scaling_efficiency']} exceeds the "
+            f"window's own hardware ceiling "
+            f"{s['hw_ceiling']['ceiling']} when normalized "
+            f"({s['build_efficiency_vs_hw']} > 1), which is physically "
+            "impossible for a real scaling gain — the ceiling calibration "
+            "and the build legs sampled different co-tenant contention "
+            "windows on this hypervisor. Re-run `bench.py --scaling` in a "
+            "quieter window; see the addenda below for the best "
+            "consistent-window measurements.")
     elif met_norm:
         verdict_line = (
             f"The >=0.8 criterion is NOT met raw in this environment "
