@@ -105,6 +105,8 @@ def run_suite(sf_dir: str, cpus: int) -> dict:
         p95_core7 = core7_times[min(len(core7_times) - 1,
                                     int(0.95 * len(core7_times)))]
 
+        qps = run_concurrent_queries(idx)
+
         upsert = run_incremental(spark, docs, index_dir, build_s)
         # at this tiny SF the upsert ratio is fixed-job-overhead-bound
         # (a 250-file bag costs ~6s of Spark job latency no matter what);
@@ -138,11 +140,47 @@ def run_suite(sf_dir: str, cpus: int) -> dict:
             # execution family, not a regression of the WAND path)
             "query_p95_core7_sec": round(p95_core7, 4),
             "cpus": cpus,
+            **qps,
             **upsert,
         }
     finally:
         shutil.rmtree(index_dir, ignore_errors=True)
         spark.stop()
+
+
+def run_concurrent_queries(idx) -> dict:
+    """Sustained concurrent-query throughput (QPS) — the reference is a
+    Solr SERVER answering overlapping requests (SearchServlet), while the
+    per-query numbers above measure one query at a time. Spark's
+    scheduler accepts jobs from many driver threads; each worker here
+    submits independent search_blockmax jobs against the shared reader,
+    round-robin over the core query set. Per-query latency on a local[N]
+    box underuses the cluster (a selective query schedules far fewer
+    tasks than there are cores); QPS is the serving-facing metric that
+    shows those idle cores absorbing concurrent queries."""
+    import concurrent.futures as _fut
+
+    from .operators.wand import search_blockmax
+
+    workers = int(os.environ.get("SPARK_GRAFT_QPS_WORKERS", "8"))
+    total = int(os.environ.get("SPARK_GRAFT_QPS_QUERIES", "48"))
+    core = [BENCH_QUERIES[n] for n in sorted(_CORE7)]
+
+    def one(i: int) -> None:
+        text, k, skip, filters = core[i % len(core)]
+        search_blockmax(idx, text, k=k, skip=skip, filters=filters).collect()
+
+    one(0)  # warm the thread-pool path before timing
+    t0 = time.perf_counter()
+    with _fut.ThreadPoolExecutor(max_workers=workers) as ex:
+        list(ex.map(one, range(total)))
+    wall = time.perf_counter() - t0
+    return {
+        "qps_concurrent": round(total / wall, 2) if wall > 0 else None,
+        "qps_workers": workers,
+        "qps_queries": total,
+        "qps_wall_sec": round(wall, 3),
+    }
 
 
 def run_incremental(spark, docs, index_dir: str, full_build_s: float) -> dict:
@@ -166,9 +204,19 @@ def run_incremental(spark, docs, index_dir: str, full_build_s: float) -> dict:
 
     one = docs.filter(F.col("repo") == up_repo)
     n_one = one.count()
-    t0 = time.perf_counter()
-    upsert_repos_physical(spark, index_dir, one, auto_compact=False)
-    upsert_s = time.perf_counter() - t0
+    # upsert/stream are idempotent (delete-the-repo's-docs + append a
+    # fresh segment, same work every time), so they get the same
+    # min-of-trials discipline as the build — a single-shot number on
+    # this VM is as likely to measure the hypervisor window as the
+    # engine. delete/compact mutate state irreversibly (a second run
+    # would measure a no-op) and stay single-shot.
+    maint_trials = int(os.environ.get("SPARK_GRAFT_MAINT_TRIALS", "2"))
+    upsert_trials = []
+    for _ in range(maint_trials):
+        t0 = time.perf_counter()
+        upsert_repos_physical(spark, index_dir, one, auto_compact=False)
+        upsert_trials.append(time.perf_counter() - t0)
+    upsert_s = min(upsert_trials)
 
     t0 = time.perf_counter()
     delete_repo_physical(spark, index_dir, del_repo, auto_compact=False)
@@ -177,18 +225,21 @@ def run_incremental(spark, docs, index_dir: str, full_build_s: float) -> dict:
     # streaming drain: one docs-shaped micro-batch through the
     # foreachBatch upsert path (availableNow), checkpoint included
     src = _tmp.mkdtemp(prefix="fts_bench_stream_src_")
-    ckpt = _tmp.mkdtemp(prefix="fts_bench_stream_ckpt_")
     (docs.filter(F.col("repo") == st_repo)
      .withColumn("content", F.concat(F.col("content"), F.lit(" streamed")))
      .write.mode("overwrite").parquet(src))
-    t0 = time.perf_counter()
-    # schema=docs.schema: the source batch carries the ACL columns the
-    # base index was built with; reading it through the narrower default
-    # DOCS_SCHEMA would append docs_store files missing those columns
-    stream_upsert(spark, src, index_dir, ckpt, schema=docs.schema)
-    stream_s = time.perf_counter() - t0
+    stream_trials = []
+    for _ in range(maint_trials):
+        ckpt = _tmp.mkdtemp(prefix="fts_bench_stream_ckpt_")
+        t0 = time.perf_counter()
+        # schema=docs.schema: the source batch carries the ACL columns the
+        # base index was built with; reading it through the narrower default
+        # DOCS_SCHEMA would append docs_store files missing those columns
+        stream_upsert(spark, src, index_dir, ckpt, schema=docs.schema)
+        stream_trials.append(time.perf_counter() - t0)
+        shutil.rmtree(ckpt, ignore_errors=True)
+    stream_s = min(stream_trials)
     shutil.rmtree(src, ignore_errors=True)
-    shutil.rmtree(ckpt, ignore_errors=True)
 
     t0 = time.perf_counter()
     compact_index(spark, index_dir)
@@ -198,6 +249,7 @@ def run_incremental(spark, docs, index_dir: str, full_build_s: float) -> dict:
         "upsert_repo": up_repo,
         "upsert_files": n_one,
         "upsert_sec": round(upsert_s, 3),
+        "upsert_sec_trials": [round(t, 3) for t in upsert_trials],
         "upsert_vs_full_build": round(upsert_s / full_build_s, 3) if full_build_s else None,
         "delete_sec": round(delete_s, 3),
         "stream_upsert_sec": round(stream_s, 3),
