@@ -272,7 +272,7 @@ def run_scaling(sf_dir: str, n_low: int | None = None, n_high: int | None = None
     # contention windows (this hypervisor swings >2x between ten-minute
     # windows) and the normalization is evidence of nothing — flag it so
     # the report never publishes "criterion met" off a broken window.
-    window_ok = norm is None or norm <= 1.05
+    window_ok = norm is None or norm <= 1.0
     return {
         "sf": _sf_of(sf_dir),
         "n_low": n_low, "n_high": n_high,

@@ -187,7 +187,12 @@ def run_incremental(spark, docs, index_dir: str, full_build_s: float) -> dict:
     """Incremental-maintenance cycle on the already-built index — the
     O(bag) vs O(corpus) claim of operators/maintenance.py, measured by
     the same harness that catches query regressions: upsert one repo,
-    delete another, drain a streaming micro-batch, compact."""
+    delete another, drain a streaming micro-batch, compact.
+
+    State accumulates through the cycle (each trial's upsert tombstones
+    the previous segment), so delete/stream/compact each time an index
+    carrying the preceding ops' tombstones — deterministic given
+    maint_trials, comparable across rounds at the same setting."""
     import tempfile as _tmp
 
     from pyspark.sql import functions as F
@@ -234,8 +239,12 @@ def run_incremental(spark, docs, index_dir: str, full_build_s: float) -> dict:
         t0 = time.perf_counter()
         # schema=docs.schema: the source batch carries the ACL columns the
         # base index was built with; reading it through the narrower default
-        # DOCS_SCHEMA would append docs_store files missing those columns
-        stream_upsert(spark, src, index_dir, ckpt, schema=docs.schema)
+        # DOCS_SCHEMA would append docs_store files missing those columns.
+        # auto_compact=False: accumulated tombstones from earlier trials
+        # must not trip a full compaction INSIDE a timed stream trial —
+        # compaction is timed separately below, on a known state.
+        stream_upsert(spark, src, index_dir, ckpt, schema=docs.schema,
+                      auto_compact=False)
         stream_trials.append(time.perf_counter() - t0)
         shutil.rmtree(ckpt, ignore_errors=True)
     stream_s = min(stream_trials)

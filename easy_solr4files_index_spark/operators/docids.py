@@ -17,8 +17,9 @@ bucket id is a PURE FUNCTION OF THE ROW:
   2. bucket = searchsorted(boundaries, key), evaluated as a Catalyst
      when-chain over struct comparisons — every execution of any plan
      containing it agrees, because nothing is resampled;
-  3. count rows per bucket (tiny job), exclusive prefix-sum on the
-     driver (P integers);
+  3. count rows per bucket + exclusive prefix-sum, computed IN-PLAN (a
+     tiny single-partition window over the P-row counts aggregate,
+     broadcast-joined back — no extra driver action);
   4. doc_id = offset[bucket] + (row_number within bucket, ordered by
      key) - 1  ==  the row's global rank in (repo, path, commit) order.
 
@@ -35,9 +36,17 @@ caching full rows anti-scaled); the hash-mod-sampled literal
 boundaries make both passes agree by construction with nothing cached.
 
 Keys are unique (module precondition), so no tie straddles a boundary
-ambiguously; null key components sort first (Spark null ordering) and
-bucket by their empty-string coalesce — ids stay dense and
-deterministic either way.
+ambiguously. The total order ranked is COALESCED-lexicographic: each
+component compares as ``coalesce(c, '')``, with the null flags of all
+three components as the final tie-break (nulls first). Buckets compare
+only the coalesced tuple, so every coalesce-tie lands in ONE bucket and
+the within-bucket sort (coalesced components, then null flags) is a
+strict refinement — rank order and bucket order can never disagree,
+whatever boundaries the sample draws. (Ordering raw columns instead —
+Spark's nulls-first — would disagree with the coalesced bucket
+comparator on rows like (x, null, z) vs (x, '', a), making doc_id
+boundary- and hence cluster-size-dependent.) For null-free keys the
+order is plain lexicographic, unchanged.
 """
 
 from __future__ import annotations
@@ -52,11 +61,14 @@ KEY = ["repo", "path", "commit"]
 _SAMPLE_PER_BUCKET = 128
 
 
-def _sort_key(row) -> tuple:
-    """Driver-side ordering matching Spark's (nulls FIRST, then value —
-    UTF-8 byte order equals code-point order, which Python str compare
-    follows for the BMP identifiers/paths this engine keys on)."""
-    return tuple((k is not None, k if k is not None else "") for k in row)
+def _order_cols() -> list[F.Column]:
+    """The engine's total key order (module header): all coalesced
+    components first (the bucket comparator's order), then the null
+    flags as tie-breaks (null before '' among coalesce-ties). The
+    coalesced prefix makes this a refinement of the bucket order."""
+    cols = [F.coalesce(F.col(k), F.lit("")).asc() for k in KEY]
+    cols += [F.col(k).isNull().desc() for k in KEY]
+    return cols
 
 
 # past this boundary count the when-chain's codegen cost outgrows its
@@ -71,9 +83,10 @@ _SEP = "\x01"
 
 def _bucket_expr(boundaries: list[tuple]) -> F.Column:
     """searchsorted(boundaries, key): bucket i holds keys in
-    [b_{i-1}, b_i). Null key components are coalesced to '' for the
-    comparison only (nulls sort first, '' is the minimal string — same
-    bucket either way).
+    [b_{i-1}, b_i). Comparison is over COALESCED keys (null -> '') on
+    both sides — boundaries arrive already coalesced — so all
+    coalesce-ties share a bucket and the within-bucket sort
+    (_order_cols) refines this order; see the module header.
 
     Two physical forms, same function: a Catalyst when-chain over struct
     comparisons while the chain stays codegen-friendly (local / small-P
@@ -145,39 +158,46 @@ def assign_doc_ids(docs: DataFrame, num_partitions: int | None = None) -> DataFr
     n_total = keys.count()
     # deterministic sample: a key is sampled iff xxhash64(key) % S == 0 --
     # a property of the data, identical in every execution. S targets
-    # ~_SAMPLE_PER_BUCKET keys per bucket on the driver.
+    # ~_SAMPLE_PER_BUCKET keys per bucket on the driver. (S needs
+    # n_total, so count and sample stay two actions: a single-pass
+    # collect_list at any FIXED modulus is either too coarse for small
+    # corpora or an unbounded driver collect at 10^12 rows.)
     s_mod = max(1, n_total // (_SAMPLE_PER_BUCKET * num_partitions))
     sample = keys if s_mod == 1 else keys.filter(
         F.pmod(F.xxhash64(*KEY), F.lit(s_mod)) == 0)
-    skeys = sorted((tuple(r) for r in sample.collect()), key=_sort_key)
+    # boundaries are coalesced (null -> '') at collection: the bucket
+    # comparator and np.searchsorted both operate on coalesced keys, so
+    # boundary order must be the plain-tuple order of the coalesced form
+    # (sorting the raw null-first form here would hand searchsorted an
+    # unsorted array). set(): equal SAMPLED boundaries just merge buckets
+    # (duplicate keys are a precondition violation).
+    skeys = sorted({tuple(v if v is not None else "" for v in r)
+                    for r in sample.collect()})
     if len(skeys) > 1 and num_partitions > 1:
         step = len(skeys) / num_partitions
         idxs = sorted({int((i + 1) * step) for i in range(num_partitions - 1)
                        if int((i + 1) * step) < len(skeys)})
         boundaries = [skeys[i] for i in idxs]
-        # dedupe equal boundaries (duplicate keys are a precondition
-        # violation, but equal SAMPLED boundaries just merge buckets)
-        boundaries = [b for j, b in enumerate(boundaries)
-                      if j == 0 or b != boundaries[j - 1]]
     else:
         boundaries = []
 
     bucketed = keys.withColumn("_pid", _bucket_expr(boundaries))
-    counts = {r["_pid"]: r["cnt"] for r in
-              bucketed.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()}
-    offsets, acc = {}, 0
-    for pid in sorted(counts):
-        offsets[pid] = acc
-        acc += counts[pid]
-    off_df = spark.createDataFrame(
-        [(pid, off) for pid, off in offsets.items()] or [(0, 0)],
-        "_pid int, _offset long",
-    )
-    w = Window.partitionBy("_pid").orderBy(*KEY)
+    # exclusive prefix-sum of bucket counts, IN-PLAN: the counts agg is a
+    # subquery feeding a single-partition window over P rows (tiny) that
+    # broadcast-joins back onto the rank stream — one fewer driver action
+    # than collecting counts first, which matters on the per-micro-batch
+    # maintenance path where fixed job latency dominates small bags.
+    counts_df = bucketed.groupBy("_pid").agg(F.count(F.lit(1)).alias("_cnt"))
+    w_off = (Window.orderBy("_pid")
+             .rowsBetween(Window.unboundedPreceding, -1))
+    off_df = counts_df.select(
+        "_pid", F.coalesce(F.sum("_cnt").over(w_off), F.lit(0))
+        .cast("long").alias("_offset"))
+    w = Window.partitionBy("_pid").orderBy(*_order_cols())
     mapping = (
         bucketed.withColumn("_rn", F.row_number().over(w))
-        .join(F.broadcast(off_df), "_pid", "left")
-        .select(*KEY, (F.coalesce("_offset", F.lit(0)) + F.col("_rn") - 1)
+        .join(F.broadcast(off_df), "_pid")
+        .select(*KEY, (F.col("_offset") + F.col("_rn") - 1)
                 .cast("long").alias("doc_id"))
     )
     # keys are unique (module precondition, see header), so the join is

@@ -31,16 +31,19 @@ from ..sources.docs_source import DOCS_SCHEMA
 
 def stream_upsert(spark: SparkSession, source_dir: str, index_dir: str,
                   checkpoint_dir: str, continuous: bool = False,
-                  schema: str = DOCS_SCHEMA):
+                  schema: str = DOCS_SCHEMA, auto_compact: bool = True):
     """Start (and for availableNow: run to completion) a stream that
     upserts every arriving docs parquet batch into ``index_dir``.
-    Returns the StreamingQuery."""
+    Returns the StreamingQuery. ``auto_compact=False`` disables the
+    threshold-triggered compaction inside each batch's upsert (benchmarks
+    time compaction separately; production streams keep the default)."""
     from ..operators.maintenance import upsert_repos_physical
 
     def apply_batch(batch: DataFrame, batch_id: int) -> None:
         if batch.isEmpty():
             return
-        upsert_repos_physical(batch.sparkSession, index_dir, batch)
+        upsert_repos_physical(batch.sparkSession, index_dir, batch,
+                              auto_compact=auto_compact)
 
     stream = (spark.readStream.schema(schema).parquet(source_dir)
               .writeStream.foreachBatch(apply_batch)

@@ -302,3 +302,49 @@ def test_bucket_expr_udf_path_matches_when_chain(spark, monkeypatch):
     b = docids.assign_doc_ids(docs, num_partitions=8)
     hb = b.agg(F.expr("bit_xor(xxhash64(repo, path, commit, doc_id))")).collect()[0][0]
     assert ha == hb
+
+
+def test_docid_rank_with_null_and_empty_key_components(spark, monkeypatch):
+    """Null vs '' key components: the bucket comparator coalesces null to
+    '' while a raw ``orderBy(*KEY)`` would sort nulls strictly first —
+    inconsistent orders would make doc_id depend on WHERE the sampled
+    boundaries fall (and hence on cluster size). The fix ranks by the
+    coalesced order with null flags as tie-breaks (docids module header),
+    which buckets can never contradict. Asserts: ids are dense, equal the
+    documented total order computed independently on the driver, are
+    identical across boundary counts (4 vs 16 partitions — the
+    cluster-size-independence claim), and the when-chain and searchsorted
+    bucket forms agree on null-bearing keys."""
+    from easy_solr4files_index_spark.operators import docids
+
+    base = synth_code_docs(spark, n_docs=1_000, seed=11) \
+        .select("repo", "path", "commit")
+    extra = spark.createDataFrame(
+        [("src1", None, "zzz"), ("src1", "", "aaa"),  # the adversarial pair
+         (None, "p", "c"), ("", "p", "c"),
+         ("src1", None, "aaa"), ("src1", "", "zzz"),
+         (None, None, None), ("", "", "")],
+        "repo string, path string, commit string")
+    keys = base.unionByName(extra)
+
+    def rank_key(r):
+        co = tuple((v if v is not None else "") for v in r[:3])
+        nulls = tuple(v is not None for v in r[:3])  # False (null) first
+        return co + nulls
+
+    expect = sorted((tuple(r) for r in keys.collect()), key=rank_key)
+
+    ids = {}
+    for label, nparts, maxchain in [("when4", 4, 256), ("when16", 16, 256),
+                                    ("udf16", 16, 0)]:
+        monkeypatch.setattr(docids, "_MAX_WHEN_CHAIN", maxchain)
+        got = docids.assign_doc_ids(keys, num_partitions=nparts) \
+            .select("repo", "path", "commit", "doc_id").collect()
+        n = len(got)
+        assert n == len(expect)
+        assert sorted(r["doc_id"] for r in got) == list(range(n)), \
+            f"{label}: ids not dense"
+        by_id = [tuple(r)[:3] for r in sorted(got, key=lambda r: r["doc_id"])]
+        assert by_id == expect, f"{label}: rank != documented total order"
+        ids[label] = by_id
+    assert ids["when4"] == ids["when16"] == ids["udf16"]
