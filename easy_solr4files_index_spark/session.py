@@ -40,5 +40,12 @@ def get_spark(app: str = "fts", cpus: int | None = None, shuffle_partitions: int
         # driver-side sequential rename dominates small-batch writes
         .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
         .config("spark.hadoop.mapreduce.fileoutputcommitter.marksuccessfuljobs", "false")
+        # zstd for every index write: the build is bandwidth-bound, not
+        # CPU-bound (measured: docs_store 118->76 MB AND faster to write
+        # than snappy at 200k docs; compression CPU scales with cores,
+        # disk/memory bandwidth does not — so smaller bytes raise both
+        # throughput and the N->4N scaling efficiency). Reads are
+        # codec-agnostic; existing snappy indexes keep working.
+        .config("spark.sql.parquet.compression.codec", "zstd")
         .getOrCreate()
     )
