@@ -166,6 +166,12 @@ def _term_clause_rows(blocks: DataFrame, cmap: list[tuple[str, int, str]],
 _FETCH_BY_ID_BYTES = int(os.environ.get("SPARK_FTS_FETCH_BY_ID_BYTES",
                                         str(1 << 30)))
 
+# Block-max pruning engages only when the index has this many times more
+# buckets than the hot set P — below that the UB job + two-phase plan
+# costs more than the decode it skips (see the cutover comment in
+# _blockmax).
+_PRUNE_MIN_BUCKET_FACTOR = int(os.environ.get("SPARK_FTS_PRUNE_FACTOR", "4"))
+
 _PAGE_SCHEMA = "doc_id long, repo string, path string, lang string, score double"
 
 
@@ -389,10 +395,18 @@ def _blockmax(index: PhysicalIndex, text: str | None, k: int, skip: int,
     tombs = index.tombstones
 
     p = max(4 * (k + skip), 32)
-    if not prune or (index.n_buckets and index.n_buckets <= p):
+    if not prune or (index.n_buckets
+                     and index.n_buckets <= p * _PRUNE_MIN_BUCKET_FACTOR):
         # pruning needs MORE buckets than the hot-set size P to ever drop
-        # one — below that the UB job is a pure extra round-trip (small
-        # corpora / small indexes), so go straight to exhaustive scoring
+        # one, and enough headroom beyond P to pay for its extra jobs:
+        # the pruned plan runs an UB job + a persist + two scoring phases
+        # where the exhaustive plan runs one job, so it only wins when it
+        # can skip a large FRACTION of buckets. Measured on the 200k-doc
+        # corpus (49 buckets, P=40): exhaustive top-k 0.16-0.5 s vs the
+        # pruned plan's 1.4-1.7 s — a 3x regression for a 18% decode
+        # saving. The factor keeps small/medium indexes on the one-job
+        # plan; at cluster scale n_buckets ~ n_docs/span >> 4P and
+        # pruning engages exactly where the decode volume dominates.
         return topk(_score_blocks(blocks, cfg.k1, cfg.b, index.avgdl,
                                   single_term=single, tombstones=tombs,
                                   fq_ids=fq_ids)), False

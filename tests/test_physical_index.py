@@ -76,11 +76,20 @@ def built_many_buckets(spark, tmp_path_factory):
     return pidx, oracle
 
 
+@pytest.fixture
+def force_prune(monkeypatch):
+    """Pin the prune cutover factor to 1 so the two-phase pruned plan
+    engages on these deliberately small fixtures (the default factor 4
+    keeps small indexes on the cheaper one-job exhaustive plan)."""
+    from easy_solr4files_index_spark.operators import wand
+    monkeypatch.setattr(wand, "_PRUNE_MIN_BUCKET_FACTOR", 1)
+
+
 @pytest.mark.parametrize("text,k,skip", [
     ("parse", 5, 0), ("license", 5, 0), ("parse merge token", 3, 0),
     ("buildIndex cache", 5, 2), ("license merge", 4, 0),
 ])
-def test_real_pruning_rank_identical(built_many_buckets, text, k, skip):
+def test_real_pruning_rank_identical(built_many_buckets, force_prune, text, k, skip):
     pidx, oracle = built_many_buckets
     a = search_blockmax(pidx, text, k=k, skip=skip, prune=True,
                         round_score=None).collect()
@@ -92,7 +101,7 @@ def test_real_pruning_rank_identical(built_many_buckets, text, k, skip):
     assert [r["doc_id"] for r in a] == [e["doc_id"] for e in exp], text
 
 
-def test_prune_tie_at_tau_keeps_lower_docid(spark, tmp_path):
+def test_prune_tie_at_tau_keeps_lower_docid(spark, tmp_path, force_prune):
     """Regression for the ub >= tau fix: docs with IDENTICAL (tf, dl)
     tie exactly on score; a tied doc in a pruned bucket whose doc_id is
     lower than the k-th hot-phase doc must still win the tie-break."""
@@ -241,7 +250,7 @@ def test_search_envelope_physical_shape(built):
         len(env["fileitems"]) == 5
 
 
-def test_search_budgeted_partial_and_complete(built_many_buckets):
+def test_search_budgeted_partial_and_complete(built_many_buckets, force_prune):
     """T3 timeAllowed (SearchServlet.scala:97): a zero budget skips the
     completion pass and flags partial=True with the exact top-k over the
     hot subset; an ample budget returns the normal exact answer with
