@@ -13,7 +13,8 @@ escapes every Lucene metacharacter EXCEPT three user-facing operators:
 so ``+"block max" wand -lucene`` is reachable surface of the reference's
 ``GET /filesearch`` endpoint. This module parses exactly that grammar
 into occur-tagged clauses; scoring semantics live in
-operators/query.py (logical) and operators/boolean.py (physical).
+operators/query.py (logical) and operators/wand.py
+(_score_boolean_physical, physical).
 
 Parity notes vs Lucene/Solr:
   * odd number of quotes -> all quotes stripped

@@ -76,9 +76,19 @@ def _order_cols() -> list[F.Column]:
 # cluster-scale P) — switch to the Arrow-vectorized searchsorted
 _MAX_WHEN_CHAIN = 256
 
-# \x01 never occurs in repo/path/commit values (identifiers, POSIX paths,
-# hex digests), so concat with it preserves tuple lexicographic order
+# Separator for the Arrow fallback's concatenated keys. Concat order
+# equals tuple lexicographic order IFF the separator sorts strictly below
+# every code point appearing in the components (prefix cases like "ab" vs
+# ("a","y") then resolve identically in both forms) — so the fallback
+# VALIDATES that no component contains \x00 or \x01 and fails loudly on a
+# hit (both are illegal in git paths/refs and hex commits, so a hit means
+# corrupt input, and silent mis-bucketing would surface later as a
+# misleading "non-deterministic plan" density-tripwire error). NUL itself
+# cannot be the separator: numpy's unicode conversion NUL-terminates, so
+# pandas/numpy scalar concat silently DROPS "\x00" (verified on this
+# stack) — the order guarantee would break invisibly.
 _SEP = "\x01"
+_BELOW_SEP = "[\x00\x01]"
 
 
 def _bucket_expr(boundaries: list[tuple]) -> F.Column:
@@ -108,10 +118,24 @@ def _bucket_expr(boundaries: list[tuple]) -> F.Column:
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
+    import re
+    for b in boundaries:
+        if any(v is not None and re.search(_BELOW_SEP, v) for v in b):
+            raise ValueError("key boundary contains a code point <= the "
+                             f"separator, concat order undefined: {b!r}")
     flat = np.array([_SEP.join(v if v is not None else "" for v in b)
                      for b in boundaries], dtype=object)
 
     def _bucket_fn(repo, path, commit):
+        # vectorized guard: a \x00/\x01 inside any component would make
+        # the concatenated key's order diverge from the tuple order the
+        # within-bucket sort (_order_cols) uses — fail loudly instead of
+        # silently mis-bucketing
+        for part in (repo, path, commit):
+            bad = part.str.contains(_BELOW_SEP, regex=True, na=False)
+            if bad.any():
+                raise ValueError("key component contains a code point <= "
+                                 f"the bucket separator: {part[bad].iloc[0]!r}")
         key = (repo.fillna("") + _SEP + path.fillna("")
                + _SEP + commit.fillna(""))
         return pd.Series(np.searchsorted(flat, key.to_numpy(dtype=object),

@@ -312,6 +312,20 @@ def append_docs_physical(spark: SparkSession, index_dir: str,
             "appended batch schema does not match the existing docs_store: "
             f"missing={sorted(store_cols - seg_cols)}, "
             f"extra={sorted(seg_cols - store_cols)}")
+    # docID-density tripwire on the appended segment (write_index has the
+    # same guard riding its docs_store write): ids must be exactly
+    # base..base+n-1. Runs on the PERSISTED segment BEFORE any file lands
+    # in docs_store — an append failure must leave nothing behind, since
+    # orphaned parquet files are visible to every docs_store reader (no
+    # segment mask on the scan). The action doubles as cache population
+    # the write below needs anyway, so it costs no extra scan of the input.
+    from .postings import check_dense_ids
+    try:
+        check_dense_ids(enriched, offset=base, label="append segment")
+    except Exception:
+        enriched.unpersist()
+        raise
+    tf = None
     try:
         # tokens ride into docs_store like the base build writes them
         # (postings.write_index) — compact re-derives positions from them.
@@ -381,8 +395,11 @@ def append_docs_physical(spark: SparkSession, index_dir: str,
         if meta.get("index_positions"):
             writers.append(_write_positions)
         _run_parallel(writers)
-        tf.unpersist()
     finally:
+        # unpersist in the finally: a failed concurrent writer must not
+        # leak the cached tf aggregate across a long-lived upsert loop
+        if tf is not None:
+            tf.unpersist()
         enriched.unpersist()
 
     segs = _segments(meta)

@@ -151,6 +151,52 @@ def gen_name(name: str, generation: int) -> str:
     return f"{name}.g{generation}"
 
 
+# docID-density tripwire modulus: sum(doc_id % M) over a dense series
+# 0..n-1 stays <= n*M ~ 1e18 at n=1e12 — inside int64 up to n ~ 8.8e12 —
+# unlike the exact sum n(n-1)/2, which overflows int64 past n ~ 4.3e9
+# (ANSI mode would throw mid-write; legacy mode would wrap and a CORRECT
+# build could never match Python's arbitrary-precision expectation).
+_DENSITY_MOD = 1 << 20
+
+
+def _dense_expected(n: int) -> tuple[int, int]:
+    """(sum(i % _DENSITY_MOD), xor(i)) for the dense series i = 0..n-1,
+    in closed form. xor(0..m) is the classic period-4 identity."""
+    q, r = divmod(n, _DENSITY_MOD)
+    summod = q * (_DENSITY_MOD * (_DENSITY_MOD - 1) // 2) + r * (r - 1) // 2
+    m = n - 1
+    xor = (m, 1, m + 1, 0)[m % 4] if n else 0
+    return summod, xor
+
+
+def check_dense_ids(df: DataFrame, offset: int = 0, label: str = "build") -> None:
+    """Assert df.doc_id is exactly the dense series offset..offset+n-1.
+
+    Guards assign_doc_ids' two-pass determinism precondition: a
+    duplicated/skipped rank from a non-deterministically re-executed
+    input plan fails loudly instead of corrupting the index. Used by the
+    append path BEFORE any file lands (the df is the persisted segment,
+    so this action doubles as cache population the write needs anyway);
+    write_index's fresh-build twin rides the docs_store write as an
+    Observation with the same aggregates."""
+    d = df.select((F.col("doc_id") - F.lit(int(offset))).cast("long").alias("d"))
+    row = d.agg(F.count(F.lit(1)).alias("n"), F.min("d").alias("mn"),
+                F.max("d").alias("mx"),
+                F.sum(F.col("d") % _DENSITY_MOD).alias("summod"),
+                F.expr("bit_xor(d)").alias("xr")).collect()[0]
+    n = int(row["n"] or 0)
+    if n == 0:
+        return
+    exp_summod, exp_xor = _dense_expected(n)
+    if (int(row["mn"]) != 0 or int(row["mx"]) != n - 1
+            or int(row["summod"]) != exp_summod or int(row["xr"]) != exp_xor):
+        raise RuntimeError(
+            f"docID assignment produced a non-dense id space in {label} "
+            f"(n={n}, min={row['mn']}, max={row['mx']}, offset={offset}): "
+            "the input plan re-executed non-deterministically between the "
+            "rank passes — materialize the input (checkpoint/write) and retry")
+
+
 def _fingerprint(docs_with_ids: DataFrame) -> str:
     row = docs_with_ids.agg(
         F.count("*").alias("n"),
@@ -345,27 +391,32 @@ def write_index(spark: SparkSession, docs: DataFrame, index_dir: str,
             obs, F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl"),
             F.sum("dl").alias("dl_sum"),
             F.expr("bit_xor(xxhash64(repo, path, commit))").alias("h"),
-            F.sum("doc_id").alias("id_sum"), F.min("doc_id").alias("id_min"),
-            F.max("doc_id").alias("id_max"))
+            F.sum(F.col("doc_id") % _DENSITY_MOD).alias("id_summod"),
+            F.expr("bit_xor(doc_id)").alias("id_xor"),
+            F.min("doc_id").alias("id_min"), F.max("doc_id").alias("id_max"))
         observed.write.mode("overwrite").parquet(os.path.join(index_dir, "docs_store"))
         stats = obs.get
         n_docs, avgdl = stats["n"] or 0, float(stats["avgdl"] or 0.0)
         dl_sum = int(stats["dl_sum"] or 0)
         # docID-density tripwire (rides the write job — zero extra scans):
-        # ids must be exactly the dense series 0..n-1. Guards the
+        # ids must be exactly the dense series 0..n-1, checked via the
+        # overflow-free closed forms (see _dense_expected — the exact sum
+        # n(n-1)/2 overflows int64 past ~4.3e9 docs). Guards the
         # assign_doc_ids two-pass determinism precondition (docids.py) —
         # a duplicated/skipped rank from a non-deterministic input plan
         # fails the build loudly instead of corrupting the index, and the
         # unmarked lineage stage makes the re-run recompute docs_store.
+        exp_summod, exp_xor = _dense_expected(n_docs)
         if n_docs and (int(stats["id_min"]) != 0
                        or int(stats["id_max"]) != n_docs - 1
-                       or int(stats["id_sum"]) != n_docs * (n_docs - 1) // 2):
+                       or int(stats["id_summod"]) != exp_summod
+                       or int(stats["id_xor"]) != exp_xor):
             raise RuntimeError(
                 "docID assignment produced a non-dense id space "
-                f"(n={n_docs}, min={stats['id_min']}, max={stats['id_max']}, "
-                f"sum={stats['id_sum']}): the input plan re-executed "
-                "non-deterministically between the rank passes — "
-                "materialize the input (checkpoint/write) and rebuild")
+                f"(n={n_docs}, min={stats['id_min']}, max={stats['id_max']}): "
+                "the input plan re-executed non-deterministically between "
+                "the rank passes — materialize the input (checkpoint/write) "
+                "and rebuild")
         if fingerprint is None:
             fingerprint = f"{stats['n']}:{stats['h']}"
         _append_lineage(spark, index_dir, "docs_store", 0, fingerprint, "done", t0)

@@ -433,8 +433,14 @@ def search(index: FtsIndex, text: str | None = None, k: int = 10, skip: int = 0,
 
 
 def num_found(index: FtsIndex, text: str | None = None,
-              filters: dict[str, list[str]] | None = None) -> int:
-    """Exact total hit count (Solr numFound, Solr.scala:92-99)."""
+              filters: dict[str, list[str]] | None = None,
+              synonyms: dict[str, list[str]] | None = None) -> int:
+    """Exact total hit count (Solr numFound, Solr.scala:92-99).
+
+    Takes the SAME synonyms map as search: Solr's numFound is the count
+    of the very query that produced the page, so a synonym-expanded
+    search paired with a synonym-blind count could report
+    found < len(returned)."""
     from .dismax import is_plain_or, parse_dismax
 
     store = index.docs_store.filter(_filters_expr(filters))
@@ -442,19 +448,21 @@ def num_found(index: FtsIndex, text: str | None = None,
         return store.count()
     clauses = parse_dismax(text, index.config.stopwords)
     if is_plain_or(clauses):
-        terms = [c.terms[0] for c in clauses]
+        terms = expand_synonyms([c.terms[0] for c in clauses],
+                                synonyms, index.config.stopwords)
         if not terms:
             return 0
         matched = (index.tf.filter(F.col("term").isin(sorted(set(terms))))
                    .select("doc_id").distinct())
         return matched.join(store, "doc_id").count()
-    scores = _scores_for(index, text, None,
+    scores = _scores_for(index, text, synonyms,
                          fq_ids=store.select("doc_id") if filters else None)
     return scores.count() if scores is not None else 0
 
 
 def search_envelope(index: FtsIndex, text: str | None = None, k: int = 10, skip: int = 0,
-                    filters: dict[str, list[str]] | None = None) -> str:
+                    filters: dict[str, list[str]] | None = None,
+                    synonyms: dict[str, list[str]] | None = None) -> str:
     """JSON envelope shaped like the reference response
     (Solr.scala:91-103,173-181; docs/api/api.yml:172-256).
 
@@ -472,7 +480,7 @@ def search_envelope(index: FtsIndex, text: str | None = None, k: int = 10, skip:
         rows = (store.orderBy(F.col("doc_id").asc()).offset(skip).limit(k)
                 .select("repo", "path", "lang").collect())
     else:
-        scores = _scores_for(index, text, None,
+        scores = _scores_for(index, text, synonyms,
                              fq_ids=store.select("doc_id") if filters else None)
         if scores is None:
             rows, found = [], 0

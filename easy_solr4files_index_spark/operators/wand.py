@@ -41,8 +41,7 @@ from ..functions.xxhash import term_bucket
 from .dismax import is_plain_or, parse_dismax, plain_terms
 from .postings import PhysicalIndex
 from .query import (_expand_clause_synonyms, _filters_expr, _idf_expr,
-                    combine_clause_rows, expand_synonyms, score_phrase,
-                    validate_filters)
+                    combine_clause_rows, score_phrase, validate_filters)
 
 
 def _score_blocks(blocks: DataFrame, k1: float, b: float, avgdl: float,

@@ -80,3 +80,18 @@ def test_arrow_tokenizer_same_index(spark, corpus):
     assert [g["doc_id"] for g in got] == [e["doc_id"] for e in exp]
     assert [g["score"] for g in got] == pytest.approx([e["score"] for e in exp], rel=1e-9)
     idx2.unpersist()
+
+
+def test_num_found_synonyms(corpus):
+    """numFound takes the SAME synonyms map as search: Solr's numFound is
+    the count of the very query that produced the page, so a
+    synonym-expanded page paired with a synonym-blind count could report
+    found < returned."""
+    import json
+    idx, _ = corpus
+    syn = {"parse": ["merge", "token"]}
+    expanded = num_found(idx, "parse", synonyms=syn)
+    assert expanded == num_found(idx, "parse merge token")
+    assert expanded >= num_found(idx, "parse")
+    env = json.loads(search_envelope(idx, "parse", k=10**6, synonyms=syn))
+    assert env["summary"]["found"] == expanded == env["summary"]["returned"]

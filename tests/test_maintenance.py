@@ -348,3 +348,42 @@ def test_docid_rank_with_null_and_empty_key_components(spark, monkeypatch):
         assert by_id == expect, f"{label}: rank != documented total order"
         ids[label] = by_id
     assert ids["when4"] == ids["when16"] == ids["udf16"]
+
+
+def test_bucket_expr_udf_rejects_below_sep_keys(spark, monkeypatch):
+    """A \\x00/\\x01 inside a key component would make the Arrow
+    fallback's concatenated-key order diverge from the tuple order the
+    within-bucket sort uses — the UDF must fail loudly, not silently
+    mis-bucket (the density tripwire would catch it later, but with a
+    misleading "non-deterministic plan" message)."""
+    import pytest as _pytest
+
+    from easy_solr4files_index_spark.operators import docids
+
+    monkeypatch.setattr(docids, "_MAX_WHEN_CHAIN", 0)  # force the UDF form
+    rows = [(f"repo{i}", f"p{i}", "c") for i in range(50)]
+    rows.append(("repo\x01evil", "p", "c"))
+    docs = spark.createDataFrame(rows, "repo string, path string, commit string")
+    with _pytest.raises(Exception, match="separator"):
+        docids.assign_doc_ids(docs, num_partitions=4).collect()
+
+
+def test_check_dense_ids_offset_and_corruption(spark):
+    """check_dense_ids (the append path's pre-write tripwire): accepts the
+    dense series at an offset, rejects a duplicated rank — the corruption
+    class a non-deterministically re-executed input plan produces."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from easy_solr4files_index_spark.operators.postings import check_dense_ids
+
+    ok = spark.range(1000).select((F.col("id") + 4096).alias("doc_id"))
+    check_dense_ids(ok, offset=4096, label="test")
+
+    dup = ok.withColumn(
+        "doc_id", F.when(F.col("doc_id") == 4100, 4101).otherwise(F.col("doc_id")))
+    with _pytest.raises(RuntimeError, match="non-dense"):
+        check_dense_ids(dup, offset=4096, label="test")
+
+    # empty segment is vacuously dense
+    check_dense_ids(ok.limit(0), offset=0, label="test")

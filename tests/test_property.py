@@ -80,3 +80,53 @@ def test_xxhash64_known_vectors():
 
 def _signed(u: int) -> int:
     return u - (1 << 64) if u >= (1 << 63) else u
+
+
+def test_dense_expected_matches_bruteforce():
+    """Closed forms behind the docID-density tripwire (postings.py):
+    sum(i % M) and xor(i) over the dense series 0..n-1, including the
+    M-boundary crossings where the quotient/remainder split matters."""
+    from easy_solr4files_index_spark.operators.postings import (
+        _DENSITY_MOD as M, _dense_expected)
+    for n in [0, 1, 2, 5, 1000, M - 1, M, M + 3, 2 * M + 7]:
+        summod = sum(i % M for i in range(n))
+        xor = 0
+        for i in range(n):
+            xor ^= i
+        assert _dense_expected(n) == (summod, xor), n
+
+
+def test_dense_expected_fits_int64_at_design_scale():
+    """The tripwire must not itself overflow at the module's stated
+    10^12-doc design scale (the exact sum n(n-1)/2 it replaced overflows
+    int64 past ~4.3e9 docs — ANSI mode would throw mid-write)."""
+    from easy_solr4files_index_spark.operators.postings import _dense_expected
+    summod, xor = _dense_expected(10**12)
+    assert 0 <= summod < 2**63 and 0 <= xor < 2**63
+
+
+@given(st.lists(st.tuples(*[st.text(alphabet=st.characters(
+    blacklist_characters="\x00\x01"), max_size=6)] * 3),
+    min_size=2, max_size=30))
+@settings(max_examples=300, deadline=None)
+def test_sep_joined_key_order_equals_tuple_order(keys):
+    """The Arrow searchsorted fallback in docids._bucket_expr compares
+    separator-joined concatenated keys while the within-bucket sort
+    compares component tuples — the two orders must agree for every key
+    set the fallback accepts (components with code points <= the
+    separator are rejected at runtime; see _BELOW_SEP), including
+    prefix-adversarial components."""
+    from easy_solr4files_index_spark.operators.docids import _SEP
+    by_tuple = sorted(keys)
+    by_concat = sorted(keys, key=lambda t: _SEP.join(t))
+    assert by_tuple == by_concat
+
+
+def test_pandas_scalar_concat_strips_nul():
+    """Documents WHY docids._SEP cannot be NUL on this stack: numpy's
+    unicode scalar conversion NUL-terminates, so pandas broadcast concat
+    silently drops "\\x00" — an order guarantee built on a NUL separator
+    would break invisibly. If this ever starts preserving NUL, the
+    separator can move to \\x00 and the _BELOW_SEP guard can relax."""
+    import pandas as pd
+    assert (pd.Series(["a"]) + "\x00" + pd.Series(["b"])).iloc[0] == "ab"
