@@ -137,34 +137,38 @@ def _cpu_calibration(n_low: int, n_high: int, trials: int = 3) -> dict:
     never scale better than a plain process pool of spinners does.
 
     Methodology matches the Spark legs exactly: each level is pinned via
-    sched_setaffinity to cores 0..N-1 (the same set taskset gives the
-    Spark worker), trials alternate leg order, and the BEST throughput
-    per level is kept — an unpinned single-shot spinner run measured a
-    nonsensical 1.22 "efficiency" because the 2-proc leg was free to
-    migrate onto whatever cores the hypervisor had idle."""
+    sched_setaffinity to the same core window taskset gives the Spark
+    worker (offset 0 on even trials, a high offset on odd ones — low
+    vCPUs absorb host interrupts/steal first), trials alternate leg
+    order, and the BEST throughput per level is kept — an unpinned
+    single-shot spinner run measured a nonsensical 1.22 "efficiency"
+    because the 2-proc leg was free to migrate onto whatever cores the
+    hypervisor had idle."""
     import multiprocessing as mp
 
-    def tp(procs: int) -> float:
-        with mp.Pool(procs, initializer=_pin_to, initargs=(procs,)) as pool:
+    def tp(procs: int, off: int) -> float:
+        with mp.Pool(procs, initializer=_pin_to, initargs=(procs, off)) as pool:
             pool.map(_spin, [2_000_000] * procs)  # warm forks, unmeasured
             t0 = time.perf_counter()
             pool.map(_spin, [20_000_000] * procs)
             return procs / (time.perf_counter() - t0)
 
-    def tp_bw(procs: int) -> float:
-        with mp.Pool(procs, initializer=_pin_to, initargs=(procs,)) as pool:
+    def tp_bw(procs: int, off: int) -> float:
+        with mp.Pool(procs, initializer=_pin_to, initargs=(procs, off)) as pool:
             pool.map(_stream_mem, [1] * procs)  # warm forks + allocations
             t0 = time.perf_counter()
             pool.map(_stream_mem, [6] * procs)
             return procs / (time.perf_counter() - t0)
 
+    n_avail = os.cpu_count() or 32
     best = {n_low: 0.0, n_high: 0.0}
     best_bw = {n_low: 0.0, n_high: 0.0}
     for ti in range(max(trials, 2)):
         order = (n_high, n_low) if ti % 2 == 0 else (n_low, n_high)
         for procs in order:
-            best[procs] = max(best[procs], tp(procs))
-            best_bw[procs] = max(best_bw[procs], tp_bw(procs))
+            off = 0 if ti % 2 == 0 else max(0, min(16, n_avail - procs))
+            best[procs] = max(best[procs], tp(procs, off))
+            best_bw[procs] = max(best_bw[procs], tp_bw(procs, off))
     tp_low, tp_high = best[n_low], best[n_high]
     bw_low, bw_high = best_bw[n_low], best_bw[n_high]
     ratio = n_high / n_low
@@ -183,9 +187,9 @@ def _cpu_calibration(n_low: int, n_high: int, trials: int = 3) -> dict:
             "ceiling": min(raw_eff, bw_eff)}
 
 
-def _pin_to(procs: int) -> None:
+def _pin_to(procs: int, off: int = 0) -> None:
     try:
-        os.sched_setaffinity(0, set(range(procs)))
+        os.sched_setaffinity(0, set(range(off, off + procs)))
     except (AttributeError, OSError):
         pass  # non-Linux: unpinned calibration, same as the Spark legs
 
@@ -243,13 +247,21 @@ def run_scaling_pair(n_low: int, n_high: int) -> dict:
     # slots, letting the "small cluster" free-ride on idle host cores and
     # corrupting the ratio.
     trials: dict[int, list[dict]] = {n_low: [], n_high: []}
+    # Alternate the PINNED CORE SET as well as the leg order: always
+    # pinning to cores 0..N-1 parks the small-N leg on the exact vCPUs
+    # that absorb host interrupts/steal first, so its throughput deflates
+    # and the efficiency ratio inflates. Odd trials pin to a high-offset
+    # window (both sets fit the 32 advertised vCPUs); per-leg min then
+    # sees each level on each placement at least once (>= 2 trials).
+    n_avail = os.cpu_count() or 32
     for ti in range(max(SCALE_TRIALS, 2)):
         order = (n_high, n_low) if ti % 2 == 0 else (n_low, n_high)
         for cpus in order:
             cmd = [sys.executable, os.path.abspath(__file__), "--_scale-worker",
                    SCALE_CORPUS, str(cpus)]
             if shutil.which("taskset"):
-                cmd = ["taskset", "-c", f"0-{cpus - 1}"] + cmd
+                off = 0 if ti % 2 == 0 else max(0, min(16, n_avail - cpus))
+                cmd = ["taskset", "-c", f"{off}-{off + cpus - 1}"] + cmd
             out = subprocess.run(cmd, capture_output=True, text=True, check=True)
             line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
             trials[cpus].append(json.loads(line))

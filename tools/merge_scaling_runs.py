@@ -1,0 +1,102 @@
+"""Merge two or more `bench.py --scaling` JSON runs by per-leg best and
+regenerate BENCH/BASELINE.md + bench_scaling.json.
+
+    python tools/merge_scaling_runs.py run1.json run2.json ...
+
+Why: this VM's throughput swings >2x between ten-minute windows
+(co-tenant contention). Within one harness run the legs already
+alternate order and placement and keep the per-leg min-of-trials;
+merging N independent runs is the SAME discipline with more trials —
+each leg's best (least-contended) sample across every run and placement.
+The hardware ceilings merge the same way (per-level max spinner/stream
+throughput), and the normalized-efficiency window-consistency check
+(normalized <= 1) still guards against combining calibration and build
+samples that no shared window could have produced.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _merge_level(a: dict, b: dict) -> dict:
+    """Per-leg merge of run_scale_worker results: best build throughput,
+    per-query min, concatenated trial lists."""
+    best = a if a["files_per_sec"] >= b["files_per_sec"] else b
+    out = dict(best)
+    out["build_sec_trials"] = (a.get("build_sec_trials", [a["build_sec"]])
+                               + b.get("build_sec_trials", [b["build_sec"]]))
+    out["queries"] = {q: round(min(a["queries"][q], b["queries"][q]), 3)
+                      for q in a["queries"]}
+    out["query_p95_sec"] = round(min(a["query_p95_sec"], b["query_p95_sec"]), 3)
+    return out
+
+
+def _merge_ceiling(a: dict, b: dict, n_low: int, n_high: int) -> dict:
+    lo, hi = str(n_low), str(n_high)
+    ratio = n_high / n_low
+    out = {}
+    for key, eff_key, spd in (("raw_tp", "raw_efficiency", "raw_speedup"),
+                              ("bw_tp", "bw_efficiency", None)):
+        tl = max(a[key][lo], b[key][lo])
+        th = max(a[key][hi], b[key][hi])
+        out[key] = {lo: round(tl, 2), hi: round(th, 2)}
+        out[eff_key] = round(th / (tl * ratio), 3)
+        if spd:
+            out[spd] = round(th / tl, 3)
+    out["ceiling"] = min(out["raw_efficiency"], out["bw_efficiency"])
+    return out
+
+
+def _merge_pair(a: dict, b: dict) -> dict:
+    n_low, n_high = a["n_low"], a["n_high"]
+    lo, hi = str(n_low), str(n_high)
+    results = {lvl: _merge_level(a["results"][lvl], b["results"][lvl])
+               for lvl in (lo, hi)}
+    tp_low = results[lo]["files_per_sec"]
+    tp_high = results[hi]["files_per_sec"]
+    eff = tp_high / (tp_low * (n_high / n_low))
+    calib = _merge_ceiling(a["hw_ceiling"], b["hw_ceiling"], n_low, n_high)
+    norm = round(eff / calib["ceiling"], 3) if calib.get("ceiling") else None
+    return {
+        "n_low": n_low, "n_high": n_high,
+        "build_files_per_sec": {lo: tp_low, hi: tp_high},
+        "build_speedup": round(tp_high / tp_low, 3),
+        "build_scaling_efficiency": round(eff, 3),
+        "hw_ceiling": calib,
+        "build_efficiency_vs_hw": norm,
+        "calibration_window_consistent": norm is None or norm <= 1.0,
+        "query_p95_sec": {lo: results[lo]["query_p95_sec"],
+                          hi: results[hi]["query_p95_sec"]},
+        "results": results,
+    }
+
+
+def main(paths: list[str]) -> None:
+    runs = [json.load(open(p)) for p in paths]
+    pairs: dict[str, dict] = {}
+    for r in runs:
+        for label, p in (r.get("pairs")
+                         or {f"{r['n_low']}->{r['n_high']}": r}).items():
+            pairs[label] = _merge_pair(pairs[label], p) if label in pairs else p
+    primary = runs[0].get("primary") or next(iter(pairs))
+    merged = dict(pairs[primary])
+    merged["sf"] = runs[0].get("sf")
+    merged["primary"] = primary
+    merged["pairs"] = pairs
+    merged["merged_from_runs"] = len(runs)
+
+    from bench import write_scaling_report
+    write_scaling_report(merged)
+    for label, p in pairs.items():
+        print(label, "eff:", p["build_scaling_efficiency"],
+              "norm:", p["build_efficiency_vs_hw"],
+              "window_ok:", p["calibration_window_consistent"])
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])
