@@ -415,8 +415,11 @@ brief this is evidenced by the SAME job (full physical index build +
 query set, `bench.py --scaling`) on the SAME input at two parallelism
 levels, for each measured pair below. Methodology: every leg is pinned
 to exactly N cores (taskset over the whole process tree), trials
-alternate leg order (both legs get first-slot samples on this
-throttling hypervisor), and the per-leg MIN over trials is reported.
+alternate BOTH leg order (both legs get first-slot samples on this
+throttling hypervisor) AND the pinned core window (offset 0 vs a high
+offset — low vCPUs absorb host interrupts/steal first), and the per-leg
+MIN over trials is reported. The spinner/bandwidth ceiling calibrations
+alternate identically.
 
 Input: {n_files} files of the deterministic code-like corpus
 (sources/scale_corpus.py — Zipf vocabulary, values a pure function of
