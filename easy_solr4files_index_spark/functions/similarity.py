@@ -144,13 +144,20 @@ def ivf_topk(emb: DataFrame, query_ids: list[int], k: int = 5,
 
     Every corpus vector (centroids included) is assigned to its nearest
     centroid cell; each query scans only its ``nprobe`` nearest cells.
-    The cell restriction is a broadcast equi-join on centroid_id — at
-    rest the corpus would be written partitioned by centroid_id, making
-    this a partition-pruned scan (cells touched = nprobe × queries,
-    independent of corpus size). ``nprobe = n_centroids`` scans every
-    cell and is EXACTLY brute force (the correctness gate); smaller
-    nprobe trades recall for a ~nprobe/n_centroids scan fraction
-    (recall sweep: tests/test_similarity.py).
+    The cell restriction is a broadcast equi-join on centroid_id.
+
+    SCALE NOTE: this variant recomputes the corpus→centroid assignment
+    in-plan per call — right for ad-hoc corpora with no index at rest,
+    and as the semantics oracle, but at 100 TB the assignment scan
+    dominates. The production path is functions/ivf.py: ``ivf_build``
+    pays the assignment ONCE and writes the corpus partitioned by
+    centroid_id; ``ivf_search`` then reads only the probed cells via a
+    static partition filter (cells touched = nprobe × queries,
+    independent of corpus size — PLANS.md `ann_ivf_materialized`).
+    ``nprobe = n_centroids`` scans every cell and is EXACTLY brute
+    force (the correctness gate); smaller nprobe trades recall for a
+    ~nprobe/n_centroids scan fraction (recall sweep:
+    tests/test_similarity_dedup.py).
     """
     nprobe = n_centroids if nprobe is None else nprobe
     if centroids is not None:
