@@ -3,6 +3,10 @@ trip over a temp physical index, mirroring the reference's command verbs
 (Command.scala:30-56: init/update/delete + the query servlet)."""
 
 import json
+import os
+import shutil
+import subprocess
+import sys
 import tempfile
 
 import pytest
@@ -70,3 +74,43 @@ def test_cli_delete_is_durable(capsys, spark):
         assert cli.main(["compact", "--index", d]) == 0
         cout = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
         assert cout["tombstone_ranges"] == 0
+
+
+@pytest.mark.skipif(shutil.which("spark-submit") is None
+                    and not os.path.exists("/opt/spark/bin/spark-submit"),
+                    reason="no spark-submit on PATH")
+def test_spark_submit_pyfiles_smoke(tmp_path):
+    """The north-rule launch mode, end-to-end: package the engine as a
+    --py-files zip, spark-submit the build and a query from a cwd with NO
+    repo checkout (imports must resolve from the zip), and check the
+    envelope. Separate cold JVMs per verb — exactly how a cluster
+    submission runs; the in-process fixtures above cover the verbs'
+    semantics, this covers the packaging/launch path itself."""
+    spark_submit = shutil.which("spark-submit") or "/opt/spark/bin/spark-submit"
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    zip_path = tmp_path / "pkg.zip"
+    subprocess.run([sys.executable, "-m", "zipfile", "-c", str(zip_path),
+                    "easy_solr4files_index_spark"], cwd=repo, check=True)
+    shutil.copy(os.path.join(repo, "submit.py"), tmp_path / "submit.py")
+    base = [spark_submit, "--master", "local[4]",
+            "--conf", "spark.sql.shuffle.partitions=8",
+            "--conf", "spark.ui.enabled=false",
+            "--py-files", str(zip_path), str(tmp_path / "submit.py")]
+    idx = str(tmp_path / "idx")
+
+    out = subprocess.run(base + ["build", "--input", "/root/testdata/sf0.001",
+                                 "--index", idx, "--lineage-groups", "1"],
+                         cwd=tmp_path, capture_output=True, text=True,
+                         check=True, timeout=420)
+    built = json.loads(out.stdout.strip().splitlines()[-1])
+    assert built["n_docs"] == 500 and not built["stages_skipped"]
+
+    out = subprocess.run(base + ["query", "--index", idx,
+                                 "--text", "spark join", "--k", "5"],
+                         cwd=tmp_path, capture_output=True, text=True,
+                         check=True, timeout=420)
+    env = json.loads(out.stdout.strip().splitlines()[-1])
+    assert env["summary"]["returned"] == 5
+    assert env["summary"]["found"] >= 5
+    scores = [fi["score"] for fi in env["fileitems"]]
+    assert scores == sorted(scores, reverse=True)
