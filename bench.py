@@ -68,14 +68,10 @@ SCALE_PAIRS: list[tuple[int, int]] = [
 ]
 
 # query set for the synthetic scale corpus (Zipf vocab of scale_corpus.py:
-# 'def' ~hottest keyword, parseBuild ~hot identifier, long-tail pairs)
-SCALE_QUERIES: dict[str, tuple[str | None, int, int, dict | None]] = {
-    "s1_hot_kw": ("def", 10, 0, None),
-    "s2_hot_ident": ("parseBuild", 10, 0, None),
-    "s3_multi": ("merge block scan", 10, 0, None),
-    "s4_tail": ("swapRing allocHeap", 10, 0, None),
-    "s5_filtered": ("token score", 10, 0, {"lang": ["python", "go"]}),
-}
+# 'def' ~hottest keyword, parseBuild ~hot identifier, long-tail pairs) —
+# canonical definition lives in the packaged benchmark module so the
+# corpus-size curve and the core-count scaling legs run the SAME queries
+from easy_solr4files_index_spark.benchmark import SCALE_QUERIES  # noqa: E402
 
 
 def run_scale_worker(corpus_path: str, cpus: int) -> dict:
@@ -462,5 +458,13 @@ if __name__ == "__main__":
         with open("bench_maintenance.json", "w") as fh:
             json.dump(m, fh, indent=2)
         print(json.dumps(m))
+    elif "--corpus-curve" in sys.argv:
+        from easy_solr4files_index_spark.benchmark import (
+            run_corpus_curve, write_corpus_report)
+        c = run_corpus_curve(CPUS)
+        write_corpus_report(c)
+        with open("bench_corpus_curve.json", "w") as fh:
+            json.dump(c, fh, indent=2)
+        print(json.dumps(c))
     else:
         print(json.dumps(run_suite(SF_DIR, CPUS)))
