@@ -536,7 +536,12 @@ def write_corpus_report(c: dict, path: str = "BENCH/CORPUS.md") -> None:
         f"(local[{c['cpus']}], deterministic scale corpus, min of "
         f"{c['build_trials']} builds / {c['query_reps']} query reps per "
         "cell within one session; same VM-noise caveats as every other "
-        "harness here — compare cells within a run, not across runs).\n",
+        "harness here — compare cells within a run, not across runs)."
+        + (f" Cells are per-cell minima over {c['merged_from_runs']} "
+           "independent full runs (tools/merge_corpus_runs.py), each "
+           "cell at its least-contended observation; index_bytes agreed "
+           "byte-for-byte across runs (deterministic builds)."
+           if c.get("merged_from_runs") else "") + "\n",
         "\n| corpus docs | build (s) | files/s | index bytes/doc | "
         + " | ".join(SCALE_QUERIES) + " (s) |\n",
         "|---" * (4 + len(SCALE_QUERIES)) + "|\n",
