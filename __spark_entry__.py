@@ -504,6 +504,24 @@ def _q_ann_ivf_materialized(spark, sf_dir):
     return ivf.ivf_search(index, q, k=5, nprobe=8)
 
 
+def _q_ann_pq_rerank(spark, sf_dir):
+    """PQ/ADC shortlist -> exact-cosine re-rank (functions/pq.py) at
+    shortlist >= corpus == exact brute force — the oracle gate, the same
+    convention as ivf's nprobe=all; lossy shortlist/ksub recall dials
+    are swept in tests/test_pq.py. The re-rank computes cos with the
+    SAME Catalyst expression as cosine_topk, so values hash-match."""
+    from easy_solr4files_index_spark.functions import pq as pqm
+
+    emb = _emb(spark, sf_dir)
+    key = (id(spark), sf_dir, "pq_books")
+    if key not in _INDEX_CACHE:
+        _INDEX_CACHE[key] = pqm.pq_train(emb, m=4, ksub=16, train_iters=3)
+    books = _INDEX_CACHE[key]
+    codes = pqm.pq_encode(emb, books)
+    return pqm.pq_search_rerank(codes, emb, pqm.queries_of(emb, [0, 1, 2]),
+                                books, k=5, shortlist=1 << 20)
+
+
 def _q_ann_signlsh(spark, sf_dir):
     return similarity.signlsh_buckets(_emb(spark, sf_dir), n_planes=4)
 
@@ -573,6 +591,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_assign": _q_ann_ivf,
         "ann_ivf_topk": _q_ann_ivf_topk,
         "ann_ivf_mat_topk": _q_ann_ivf_materialized,
+        "ann_pq_rerank": _q_ann_pq_rerank,
         "ann_signlsh_buckets": _q_ann_signlsh,
         "dedup_embedding": _q_dedup_embedding,
         "mm_decode_stub": _q_mm_decode,
@@ -689,6 +708,7 @@ def oracle_sql() -> dict[str, str]:
     # the expected result (prune-exactness gate)
     out["ann_ivf_topk"] = similarity.cosine_topk_sql([0, 1, 2], k=5)
     out["ann_ivf_mat_topk"] = similarity.cosine_topk_sql([0, 1, 2], k=5)
+    out["ann_pq_rerank"] = similarity.cosine_topk_sql([0, 1, 2], k=5)
     out["ann_signlsh_buckets"] = similarity.signlsh_buckets_sql(n_planes=4)
     out["dedup_embedding"] = similarity.embedding_near_dups_sql(threshold=0.4)
     out["mm_decode_stub"] = multimodal.decode_features_sql()

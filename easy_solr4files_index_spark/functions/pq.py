@@ -1,0 +1,209 @@
+"""Product quantization (PQ) for embedding columns — the compressed
+in-memory ANN scale path, completing the similarity family (brute-force
+cosine baseline, IVF cell pruning, sign-LSH bucketing; this module adds
+the memory axis: 64-float vectors become ``m`` uint8 codes).
+
+Reference note: DANS-KNAW/easy-solr4files-index has no ANN surface; this
+operator family comes from the training-data-pipeline brief. Algorithm
+is the standard PQ/ADC construction (Jégou et al., "Product Quantization
+for Nearest Neighbor Search", TPAMI 2011 — public literature).
+
+Spark-first shape, stage by stage:
+  * TRAIN — ``m`` independent sub-space k-means, each reusing the
+    distributed ``similarity.kmeans_fit`` pattern on an `F.slice` of the
+    vector column: per iteration one broadcast crossJoin against ksub
+    sub-centroids + one recenter aggregate; only m×ksub×dsub floats ever
+    reach the driver. Train is a once-per-corpus pass, like the text
+    index build or functions/ivf.ivf_build.
+  * ENCODE — one linear pass: a vectorized Arrow kernel (mapInPandas,
+    no per-row Python) computes argmin sub-distances for a whole record
+    batch against the (tiny, closure-captured) codebooks. Output is
+    ``(vec_id, codes array<smallint>)`` — m bytes of information per
+    vector; at 100 TB this is the table that fits in cluster memory
+    when the raw embeddings do not.
+  * SEARCH (ADC) — queries are driver-side (k-sized, like every query
+    surface here); the kernel builds each query's m×ksub lookup table
+    once, scores a record batch of codes with numpy ``take`` + sum, and
+    emits only its PER-PARTITION top-k (deterministic lexsort
+    tie-break) — a combiner, so the final global window ranks
+    ≤ k × |queries| × n_partitions rows, never the corpus.
+
+Distance/metric contract: vectors are L2-normalized inside train,
+encode, AND search, so ADC's L2² ranking equals cosine ranking
+(l2² = 2 − 2·cos on the unit sphere); ``acos`` returned is the ADC
+approximation 1 − l2²/2. Exactness gate: with ``ksub ≥ n_vectors`` and
+``train_iters = 0`` every sub-vector is its own centroid, ADC distances
+are exact, and top-k is rank-identical to the brute-force oracle
+(CORRECTNESS `ann_pq_exact`, tests/test_pq.py). Production settings
+(ksub ≪ n) trade recall for the m-byte memory footprint — recall sweep
+in tests/test_pq.py.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, Window, functions as F
+
+from .similarity import _as_double, kmeans_fit
+
+
+def _normalized(col):
+    """L2-normalize an array column (JVM-side); zero vectors pass through."""
+    v = _as_double(col)
+    n = F.sqrt(F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x))
+    return F.when(n > 0, F.transform(v, lambda x: x / n)).otherwise(v)
+
+
+def pq_train(emb: DataFrame, m: int = 4, ksub: int = 16,
+             train_iters: int = 3, vec_col: str = "embedding",
+             id_col: str = "vec_id") -> list[list[list[float]]]:
+    """Fit m sub-space codebooks; returns nested lists
+    ``codebooks[j][c] = centroid c of subspace j`` (m×ksub×dsub floats —
+    always driver-safe; the distributed work is inside kmeans_fit)."""
+    dim = len(emb.select(vec_col).first()[0])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    unit = emb.select(F.col(id_col).alias("vec_id"),
+                      _normalized(F.col(vec_col)).alias("v"))
+    books: list[list[list[float]]] = []
+    for j in range(m):
+        sub = unit.select("vec_id",
+                          F.slice("v", j * dsub + 1, dsub).alias("sv"))
+        cent = kmeans_fit(sub, k=ksub, iters=train_iters,
+                          vec_col="sv", id_col="vec_id")
+        rows = cent.orderBy("centroid_id").collect()
+        books.append([list(r["cv"]) for r in rows])
+    return books
+
+
+def pq_encode(emb: DataFrame, codebooks: list[list[list[float]]],
+              vec_col: str = "embedding",
+              id_col: str = "vec_id") -> DataFrame:
+    """(vec_id, codes array<smallint>) — one vectorized argmin pass.
+    Ties go to the lowest code (numpy argmin), so encoding is
+    deterministic regardless of partitioning."""
+    books = [np.asarray(b, dtype=np.float64) for b in codebooks]
+    m = len(books)
+    dsub = books[0].shape[1]
+
+    def kernel(batches):
+        import pandas as pd
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            vecs = np.stack(pdf["v"].to_numpy())  # (n, dim), normalized
+            codes = np.empty((vecs.shape[0], m), dtype=np.int16)
+            for j in range(m):
+                sv = vecs[:, j * dsub:(j + 1) * dsub]
+                # (n, ksub) squared distances; argmin ties -> lowest code
+                d2 = ((sv[:, None, :] - books[j][None, :, :]) ** 2).sum(axis=2)
+                codes[:, j] = d2.argmin(axis=1)
+            yield pd.DataFrame({"vec_id": pdf["vec_id"].to_numpy(),
+                                "codes": list(codes)})
+
+    unit = emb.select(F.col(id_col).alias("vec_id"),
+                      _normalized(F.col(vec_col)).alias("v"))
+    return unit.mapInPandas(kernel, "vec_id long, codes array<smallint>")
+
+
+def pq_search(codes: DataFrame, queries: list[tuple[int, list[float]]],
+              codebooks: list[list[list[float]]], k: int = 5) -> DataFrame:
+    """(query_id, neighbor_id, acos, rank) — asymmetric distance (ADC)
+    top-k over the encoded corpus. ``queries`` are (query_id, raw_vector)
+    pairs (normalized here); self-matches are excluded like cosine_topk.
+
+    The kernel emits per-partition top-k only (deterministic
+    (dist, neighbor_id) lexsort), so the global window ranks a
+    combiner-sized stream."""
+    books = [np.asarray(b, dtype=np.float64) for b in codebooks]
+    m = len(books)
+    dsub = books[0].shape[1]
+    qids, qvecs = [], []
+    for qid, qv in queries:
+        v = np.asarray(qv, dtype=np.float64)
+        n = np.linalg.norm(v)
+        qids.append(int(qid))
+        qvecs.append(v / n if n > 0 else v)
+    # per-query lookup tables: luts[q][j][c] = ||q_j - books[j][c]||^2
+    luts = np.stack([
+        np.stack([(((books[j] - qv[j * dsub:(j + 1) * dsub][None, :]) ** 2)
+                   .sum(axis=1)) for j in range(m)])
+        for qv in qvecs])  # (nq, m, ksub)
+
+    def kernel(batches):
+        import pandas as pd
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            codes_np = np.stack(pdf["codes"].to_numpy()).astype(np.int64)  # (n, m)
+            ids = pdf["vec_id"].to_numpy()
+            out = {"query_id": [], "neighbor_id": [], "d2": []}
+            for qi, qid in enumerate(qids):
+                d2 = luts[qi][np.arange(m)[None, :], codes_np].sum(axis=1)
+                keep = ids != qid  # cosine_topk's self-exclusion
+                dk, idk = d2[keep], ids[keep]
+                if not len(dk):
+                    continue
+                top = np.lexsort((idk, dk))[:k]  # deterministic tie-break
+                out["query_id"] += [qid] * len(top)
+                out["neighbor_id"] += list(idk[top])
+                out["d2"] += list(dk[top])
+            if out["query_id"]:
+                yield pd.DataFrame(out)
+
+    cand = codes.mapInPandas(
+        kernel, "query_id long, neighbor_id long, d2 double")
+    w = Window.partitionBy("query_id").orderBy(F.col("d2").asc(),
+                                               F.col("neighbor_id").asc())
+    return (cand.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id",
+                    F.round(1.0 - F.col("d2") / 2.0, 6).alias("acos"),
+                    "rank"))
+
+
+def queries_of(emb: DataFrame, query_ids: list[int],
+               vec_col: str = "embedding",
+               id_col: str = "vec_id") -> list[tuple[int, list[float]]]:
+    """Fetch (query_id, raw_vector) pairs with a pushed id filter."""
+    rows = (emb.filter(F.col(id_col).isin(query_ids))
+            .select(F.col(id_col).alias("q"), F.col(vec_col).alias("v"))
+            .collect())
+    return [(int(r["q"]), list(r["v"])) for r in rows]
+
+
+def pq_search_rerank(codes: DataFrame, emb: DataFrame,
+                     queries: list[tuple[int, list[float]]],
+                     codebooks: list[list[list[float]]], k: int = 5,
+                     shortlist: int | None = None,
+                     vec_col: str = "embedding",
+                     id_col: str = "vec_id") -> DataFrame:
+    """ADC shortlist → exact-cosine re-rank (the standard IVFADC+refine
+    architecture): PQ's compressed scan proposes ``shortlist`` (default
+    4k) candidates per query, and only THOSE rows' raw vectors are
+    fetched (pushed doc-id filter, ~shortlist×|queries| rows at any
+    corpus size) for an exact cosine re-rank. Recovers most of the
+    recall PQ's lossy codes give up while still never scanning raw
+    vectors corpus-wide. Returns (query_id, neighbor_id, cos, rank) —
+    cos is EXACT, so at shortlist ≥ corpus this is rank-identical to
+    cosine_topk by construction."""
+    shortlist = 4 * k if shortlist is None else shortlist
+    cand = pq_search(codes, queries, codebooks, k=shortlist).select(
+        "query_id", "neighbor_id")
+    spark = codes.sparkSession
+    qdf = spark.createDataFrame(
+        [(int(q), [float(x) for x in v]) for q, v in queries],
+        "query_id long, qv array<double>")
+    raw = emb.select(F.col(id_col).alias("neighbor_id"),
+                     _as_double(F.col(vec_col)).alias("v"))
+    from .similarity import _dot, _norm
+    pairs = (cand.join(raw, "neighbor_id").join(F.broadcast(qdf), "query_id")
+             .withColumn("cos", F.round(
+                 _dot(F.col("qv"), F.col("v"))
+                 / (_norm(F.col("qv")) * _norm(F.col("v"))), 6)))
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(),
+                                               F.col("neighbor_id").asc())
+    return (pairs.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "cos", "rank"))

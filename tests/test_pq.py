@@ -1,0 +1,102 @@
+"""Product quantization (functions/pq.py): exactness gate vs the
+brute-force cosine oracle, recall behavior of lossy settings, the ADC →
+exact-re-rank refinement, and determinism under repartitioning."""
+
+from __future__ import annotations
+
+import pytest
+
+from easy_solr4files_index_spark.functions import pq
+from easy_solr4files_index_spark.functions.similarity import cosine_topk
+
+SF_DIR = "/root/testdata/sf0.01"
+QIDS = [0, 7, 23, 111, 250]
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+
+
+@pytest.fixture(scope="module")
+def brute(emb):
+    rows = cosine_topk(emb, QIDS, k=5).collect()
+    return {(r["query_id"], r["neighbor_id"], r["rank"]) for r in rows}
+
+
+def _recall(rows, brute_set) -> float:
+    pairs = {(q, n) for q, n, _ in brute_set}
+    hits = sum((r["query_id"], r["neighbor_id"]) in pairs for r in rows)
+    return hits / len(pairs)
+
+
+def test_pq_exact_gate_rank_identical(emb, brute):
+    """ksub >= n_vectors with train_iters=0 makes every sub-vector its
+    own centroid: ADC distances are exact and top-k is rank-identical
+    to brute force — the correctness gate for the whole ADC machinery
+    (codebook layout, encode argmin, LUT sum, tie-breaks)."""
+    n = emb.count()
+    books = pq.pq_train(emb, m=4, ksub=n, train_iters=0)
+    codes = pq.pq_encode(emb, books)
+    res = pq.pq_search(codes, pq.queries_of(emb, QIDS), books, k=5)
+    got = {(r["query_id"], r["neighbor_id"], r["rank"]) for r in res.collect()}
+    assert got == brute
+
+
+def test_pq_lossy_recall_and_codebook_dial(emb, brute):
+    """Production (lossy) settings: recall is imperfect but real, and
+    grows with codebook size (the ksub dial) — measured 0.24@ksub=16 and
+    0.36@ksub=64 on this corpus, asserted with margin."""
+    recalls = {}
+    for ksub in (4, 16, 64):
+        books = pq.pq_train(emb, m=4, ksub=ksub, train_iters=3)
+        codes = pq.pq_encode(emb, books)
+        rows = pq.pq_search(codes, pq.queries_of(emb, QIDS), books,
+                            k=5).collect()
+        assert all(len(r.asDict()) == 4 for r in rows)
+        recalls[ksub] = _recall(rows, brute)
+    assert recalls[16] >= 0.15
+    assert recalls[64] >= recalls[4]
+
+
+def test_pq_rerank_refinement(emb, brute):
+    """ADC shortlist → exact-cosine re-rank: recall rises with the
+    shortlist (measured 0.36@20 → 0.88@100 here), and shortlist >= corpus
+    is rank-identical to brute force (the re-rank is exact, so only
+    shortlist misses can lose a true neighbor)."""
+    books = pq.pq_train(emb, m=4, ksub=16, train_iters=3)
+    codes = pq.pq_encode(emb, books)
+    queries = pq.queries_of(emb, QIDS)
+    r20 = pq.pq_search_rerank(codes, emb, queries, books, k=5,
+                              shortlist=20).collect()
+    r100 = pq.pq_search_rerank(codes, emb, queries, books, k=5,
+                               shortlist=100).collect()
+    assert _recall(r100, brute) >= max(_recall(r20, brute), 0.6)
+    rall = pq.pq_search_rerank(codes, emb, queries, books, k=5,
+                               shortlist=emb.count()).collect()
+    assert {(r["query_id"], r["neighbor_id"], r["rank"])
+            for r in rall} == brute
+
+
+def test_pq_encode_shape_and_partition_invariance(emb):
+    """Codes are m smallints < ksub, and both encode and search are
+    byte-identical under a different partitioning (the kernels are
+    per-row pure + per-partition combiners with deterministic
+    tie-breaks)."""
+    m, ksub = 4, 16
+    books = pq.pq_train(emb, m=m, ksub=ksub, train_iters=3)
+    codes1 = {r["vec_id"]: list(r["codes"])
+              for r in pq.pq_encode(emb, books).collect()}
+    codes2 = {r["vec_id"]: list(r["codes"])
+              for r in pq.pq_encode(emb.repartition(7), books).collect()}
+    assert codes1 == codes2
+    assert all(len(c) == m and max(c) < ksub and min(c) >= 0
+               for c in codes1.values())
+
+    queries = pq.queries_of(emb, QIDS)
+    s1 = sorted(map(tuple, pq.pq_search(
+        pq.pq_encode(emb, books), queries, books, k=5).collect()))
+    s2 = sorted(map(tuple, pq.pq_search(
+        pq.pq_encode(emb.repartition(7), books), queries, books,
+        k=5).collect()))
+    assert s1 == s2
