@@ -522,6 +522,26 @@ def _q_ann_pq_rerank(spark, sf_dir):
                                 books, k=5, shortlist=1 << 20)
 
 
+def _q_ann_ivfpq(spark, sf_dir):
+    """IVF+PQ composition (functions/ivfpq.py): centroid-partitioned
+    COMPRESSED codes scan (PartitionFilters on centroid_id; m smallints
+    per vector) -> per-query-cell ADC shortlist -> exact-cosine re-rank.
+    nprobe=all + shortlist >= corpus == exact brute force — the oracle
+    gate; pruned recall swept in tests/test_pq.py."""
+    import tempfile
+
+    from easy_solr4files_index_spark.functions import ivfpq
+
+    key = (id(spark), sf_dir, "ivfpq")
+    if key not in _INDEX_CACHE:
+        d = tempfile.mkdtemp(prefix="ivfpq_entry_")
+        _INDEX_CACHE[key] = ivfpq.ivfpq_build(spark, _emb(spark, sf_dir), d,
+                                              n_centroids=8, m=4, ksub=16)
+    index = _INDEX_CACHE[key]
+    return ivfpq.ivfpq_search(index, _emb(spark, sf_dir), [0, 1, 2], k=5,
+                              nprobe=8, shortlist=1 << 20)
+
+
 def _q_ann_signlsh(spark, sf_dir):
     return similarity.signlsh_buckets(_emb(spark, sf_dir), n_planes=4)
 
@@ -592,6 +612,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": _q_ann_ivf_topk,
         "ann_ivf_mat_topk": _q_ann_ivf_materialized,
         "ann_pq_rerank": _q_ann_pq_rerank,
+        "ann_ivfpq_topk": _q_ann_ivfpq,
         "ann_signlsh_buckets": _q_ann_signlsh,
         "dedup_embedding": _q_dedup_embedding,
         "mm_decode_stub": _q_mm_decode,
@@ -709,6 +730,7 @@ def oracle_sql() -> dict[str, str]:
     out["ann_ivf_topk"] = similarity.cosine_topk_sql([0, 1, 2], k=5)
     out["ann_ivf_mat_topk"] = similarity.cosine_topk_sql([0, 1, 2], k=5)
     out["ann_pq_rerank"] = similarity.cosine_topk_sql([0, 1, 2], k=5)
+    out["ann_ivfpq_topk"] = similarity.cosine_topk_sql([0, 1, 2], k=5)
     out["ann_signlsh_buckets"] = similarity.signlsh_buckets_sql(n_planes=4)
     out["dedup_embedding"] = similarity.embedding_near_dups_sql(threshold=0.4)
     out["mm_decode_stub"] = multimodal.decode_features_sql()

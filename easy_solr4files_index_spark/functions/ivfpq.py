@@ -1,0 +1,176 @@
+"""IVF+PQ: the composed production ANN index (FAISS-style IVFADC shape,
+non-residual variant) — the two scale axes of this repo's ANN family in
+one layout:
+
+  * I/O axis (functions/ivf.py): the corpus is written ONCE partitioned
+    by ``centroid_id``; a query reads only its nprobe probed cells via a
+    static partition filter (`PartitionFilters: centroid_id IN (...)`).
+  * memory axis (functions/pq.py): inside the cells the scan reads
+    m-smallint PQ codes, not raw vectors — the scanned bytes per cell
+    are ~m per vector; raw vectors are touched only for the final
+    exact-cosine re-rank of the per-query shortlist (pushed-id fetch,
+    shortlist × |queries| rows at any corpus size).
+
+Semantics gates (same conventions as the components):
+  * nprobe = n_centroids AND shortlist ≥ corpus ⇒ rank-identical to
+    brute force (CORRECTNESS `ann_ivfpq_topk` hash-matches the DuckDB
+    cosine oracle — the re-rank computes cos with the same Catalyst
+    expression as similarity.cosine_topk);
+  * smaller nprobe/shortlist/ksub trade recall for scan fraction —
+    swept in tests/test_pq.py.
+
+Per-query cell restriction is enforced INSIDE the ADC kernel (each
+query only scores candidates from its own probed cells), matching true
+IVFADC semantics rather than the union-of-probes shortcut; the kernel
+emits per-partition top-shortlist only (combiner shape), so the global
+window ranks ≤ shortlist × |queries| × n_partitions rows.
+
+Algorithm is the standard IVFADC construction (Jégou et al., TPAMI 2011
+— public literature). The reference repo has no ANN surface; this family
+comes from the training-data-pipeline brief.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from .ivf import IvfIndex, ivf_build, probe_cells, queries_from_emb
+from .pq import pq_encode, pq_train
+from .similarity import _as_double, _dot, _norm
+
+_PQ_META = "pq_books.json"
+
+
+def ivfpq_build(spark: SparkSession, emb: DataFrame, index_dir: str,
+                n_centroids: int = 8, m: int = 4, ksub: int = 16,
+                kmeans_iters: int = 0, train_iters: int = 3,
+                vec_col: str = "embedding", id_col: str = "vec_id",
+                ) -> "IvfPqIndex":
+    """Build = the IVF cell layout (one assignment pass, partitioned
+    write) + PQ codebooks + a codes table partitioned the same way.
+    Three linear passes over the corpus, all build-time."""
+    ivf = ivf_build(spark, emb, index_dir, n_centroids=n_centroids,
+                    kmeans_iters=kmeans_iters, vec_col=vec_col,
+                    id_col=id_col)
+    books = pq_train(emb, m=m, ksub=ksub, train_iters=train_iters,
+                     vec_col=vec_col, id_col=id_col)
+    # codes ride the SAME centroid_id partitioning as the raw cells, so
+    # the pruned query scan applies to the compressed table too
+    codes = (pq_encode(emb, books, vec_col=vec_col, id_col=id_col)
+             .join(ivf.cells.select("vec_id", "centroid_id"), "vec_id"))
+    (codes.repartition("centroid_id")
+     .write.mode("overwrite").partitionBy("centroid_id")
+     .parquet(os.path.join(index_dir, "cells_codes")))
+    tmp = os.path.join(index_dir, _PQ_META + ".tmp")
+    with open(tmp, "w") as fh:
+        json.dump({"m": m, "ksub": ksub, "books": books}, fh)
+    os.replace(tmp, os.path.join(index_dir, _PQ_META))
+    return IvfPqIndex(ivf, books)
+
+
+class IvfPqIndex:
+    def __init__(self, ivf: IvfIndex, books: list[list[list[float]]]):
+        self.ivf = ivf
+        self.books = books
+
+    @property
+    def cells_codes(self) -> DataFrame:
+        """(vec_id, codes, centroid_id) partitioned by centroid_id."""
+        return self.ivf.spark.read.parquet(
+            os.path.join(self.ivf.index_dir, "cells_codes"))
+
+
+def ivfpq_open(spark: SparkSession, index_dir: str) -> IvfPqIndex:
+    from .ivf import ivf_open
+    with open(os.path.join(index_dir, _PQ_META)) as fh:
+        meta = json.load(fh)
+    return IvfPqIndex(ivf_open(spark, index_dir), meta["books"])
+
+
+def ivfpq_search(index: IvfPqIndex, emb: DataFrame,
+                 query_ids: list[int], k: int = 5,
+                 nprobe: int | None = None, shortlist: int | None = None,
+                 vec_col: str = "embedding",
+                 id_col: str = "vec_id") -> DataFrame:
+    """(query_id, neighbor_id, cos, rank): probe cells → pruned ADC scan
+    of the codes table (per-query cell restriction in-kernel) → exact
+    cosine re-rank of the shortlist against raw vectors fetched by id."""
+    ivf = index.ivf
+    nprobe = ivf.n_centroids if nprobe is None else min(nprobe, ivf.n_centroids)
+    shortlist = 4 * k if shortlist is None else shortlist
+
+    q = queries_from_emb(emb, query_ids, vec_col=vec_col, id_col=id_col)
+    pairs = probe_cells(ivf, q, nprobe)
+    cells = sorted({c for _, c in pairs})
+    allowed: dict[int, set[int]] = {}
+    for qid, c in pairs:
+        allowed.setdefault(qid, set()).add(c)
+
+    books = [np.asarray(b, dtype=np.float64) for b in index.books]
+    m = len(books)
+    dsub = books[0].shape[1]
+    qrows = (emb.filter(F.col(id_col).isin(query_ids))
+             .select(F.col(id_col).alias("q"), F.col(vec_col).alias("v"))
+             .collect())
+    luts: dict[int, np.ndarray] = {}
+    for r in qrows:
+        v = np.asarray(list(r["v"]), dtype=np.float64)
+        n = np.linalg.norm(v)
+        qv = v / n if n > 0 else v
+        luts[int(r["q"])] = np.stack([
+            (((books[j] - qv[j * dsub:(j + 1) * dsub][None, :]) ** 2)
+             .sum(axis=1)) for j in range(m)])
+    qcells = {qid: np.array(sorted(cs), dtype=np.int64)
+              for qid, cs in allowed.items()}
+
+    def kernel(batches):
+        import pandas as pd
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            codes_np = np.stack(pdf["codes"].to_numpy()).astype(np.int64)
+            ids = pdf["vec_id"].to_numpy()
+            cids = pdf["centroid_id"].to_numpy()
+            out = {"query_id": [], "neighbor_id": [], "d2": []}
+            for qid, lut in luts.items():
+                keep = np.isin(cids, qcells.get(qid, ())) & (ids != qid)
+                if not keep.any():
+                    continue
+                d2 = lut[np.arange(m)[None, :], codes_np[keep]].sum(axis=1)
+                idk = ids[keep]
+                top = np.lexsort((idk, d2))[:shortlist]
+                out["query_id"] += [qid] * len(top)
+                out["neighbor_id"] += list(idk[top])
+                out["d2"] += list(d2[top])
+            if out["query_id"]:
+                yield pd.DataFrame(out)
+
+    pruned = (index.cells_codes.filter(F.col("centroid_id").isin(cells))
+              .select("vec_id", "codes", "centroid_id"))
+    cand = pruned.mapInPandas(
+        kernel, "query_id long, neighbor_id long, d2 double")
+    wq = Window.partitionBy("query_id").orderBy(F.col("d2").asc(),
+                                                F.col("neighbor_id").asc())
+    short = (cand.withColumn("rn", F.row_number().over(wq))
+             .filter(F.col("rn") <= shortlist)
+             .select("query_id", "neighbor_id"))
+
+    qdf = (emb.filter(F.col(id_col).isin(query_ids))
+           .select(F.col(id_col).alias("query_id"),
+                   _as_double(F.col(vec_col)).alias("qv")))
+    raw = emb.select(F.col(id_col).alias("neighbor_id"),
+                     _as_double(F.col(vec_col)).alias("v"))
+    rerank = (short.join(raw, "neighbor_id")
+              .join(F.broadcast(qdf), "query_id")
+              .withColumn("cos", F.round(
+                  _dot(F.col("qv"), F.col("v"))
+                  / (_norm(F.col("qv")) * _norm(F.col("v"))), 6)))
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(),
+                                               F.col("neighbor_id").asc())
+    return (rerank.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "cos", "rank"))
