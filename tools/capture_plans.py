@@ -84,6 +84,25 @@ def main() -> None:
         fmt(ivfmod.ivf_search(ivf_idx, q, k=5, nprobe=2)),
     ))
 
+    from easy_solr4files_index_spark.functions import ivfpq as ivfpqmod
+    ivfpq_dir = tempfile.mkdtemp(prefix="planivfpq_")
+    ivfpq_idx = ivfpqmod.ivfpq_build(spark, emb, ivfpq_dir,
+                                     n_centroids=8, m=4, ksub=16)
+    sections.append((
+        "IVF+PQ composed ANN query (round-3: compressed pruned scan)",
+        "`ivfpq_search(idx, emb, [0], k=5, nprobe=2, shortlist=20)` over "
+        "the cells_codes table (PQ codes partitioned by centroid_id, "
+        "`ivfpq_build`).\n"
+        "Look for: `PartitionFilters: [centroid_id IN (...)]` on the "
+        "cells_codes scan whose data columns are just (vec_id, codes) — "
+        "the pruned scan reads m smallints per vector, not the raw "
+        "embedding; the ADC kernel (`MapInPandas`) emits only "
+        "per-partition shortlists; raw vectors appear ONLY in the "
+        "re-rank join fed by the shortlist (pushed-id fetch).",
+        fmt(ivfpqmod.ivfpq_search(ivfpq_idx, emb, [0], k=5, nprobe=2,
+                                  shortlist=20)),
+    ))
+
     sections.append((
         "Filter query pushed BELOW the scoring aggregate (round-3)",
         "`search_blockmax(idx, 'parse merge', k=5, filters={lang:[java]})`.\n"
