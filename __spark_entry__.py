@@ -92,15 +92,21 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # ---------------------------------------------------------------- queries
 
-# (text, k, skip, filters) per FIXTURES.md §2 coverage
+# (text, k, skip, filters) per FIXTURES.md §2 coverage — the canonical
+# driver-window set; retired variants (single/filtered/page — each a
+# strict subset of one of these) live in extra_queries()
 _SEARCHES: dict[str, tuple[str | None, int, int, dict | None]] = {
-    "fts_topk_single": ("dup", 10, 0, None),
     "fts_topk_multi": ("spark join merge", 10, 0, None),
     "fts_topk_hot": ("join", 15, 0, None),           # highest-df term: WAND stress
-    "fts_topk_filtered": ("table scan", 10, 0, {"lang": ["en"]}),
     "fts_topk_filters2": ("query window", 10, 0, {"lang": ["de", "fr"], "repo": ["src0", "src1", "src2", "src3", "src4", "src5"]}),
-    "fts_topk_page": ("spark", 5, 3, None),
     "fts_matchall_page": (None, 10, 5, {"lang": ["de"]}),
+}
+
+# the retired searches' parameters (extra_queries + their oracles)
+_EXTRA_SEARCHES: dict[str, tuple[str | None, int, int, dict | None]] = {
+    "fts_topk_single": ("dup", 10, 0, None),
+    "fts_topk_filtered": ("table scan", 10, 0, {"lang": ["en"]}),
+    "fts_topk_page": ("spark", 5, 3, None),
 }
 
 
@@ -557,30 +563,68 @@ def _q_mm_decode(spark, sf_dir):
         multimodal.attach_binary_payload(_docs_raw(spark, sf_dir)))
 
 
+def _q_budgeted_full(spark, sf_dir):
+    """T3 `timeAllowed` contract (SearchServlet.scala:97): with an
+    effectively infinite budget the budgeted path must complete every
+    phase and return the EXACT top-k (partial=False) — hash-matched
+    against the same BM25 oracle as search_blockmax. The partial path
+    (budget exhausted mid-plan) is gated in tests/test_query_surface.py."""
+    from easy_solr4files_index_spark.operators.wand import search_budgeted
+
+    page, partial = search_budgeted(_index_physical(spark, sf_dir),
+                                    "spark join merge", k=10,
+                                    time_allowed_ms=1e12)
+    assert partial is False
+    return page
+
+
+def _q_envelope(spark, sf_dir):
+    """S13 result-sink envelope as a relational result: the page rows
+    carrying found/returned/time_allowed summary columns (Solr.scala:
+    91-103, api.yml:172-256) — the whole envelope under the oracle."""
+    from easy_solr4files_index_spark.operators.wand import search_envelope_df
+
+    return search_envelope_df(_index_physical(spark, sf_dir),
+                              "spark join", k=10)
+
+
+# The driver's correctness gate records the FIRST 50 queries() entries
+# (dict order). Round 3 silently lost coverage when new entries pushed
+# old ones past the window, so the dict is now managed as a fixed-size
+# canonical set: never/least-recently driver-checked entries come FIRST,
+# redundant variants (a strict subset of another entry's code path +
+# oracle) live in extra_queries(), which the pytest parity gate
+# (tests/test_entry_parity.py) still checks every run.
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-        name: _mk_search(p) for name, p in _SEARCHES.items()
+        # --- never driver-checked before r04 / new this round ---
+        "ann_ivf_mat_topk": _q_ann_ivf_materialized,
+        "ann_pq_rerank": _q_ann_pq_rerank,
+        "ann_ivfpq_topk": _q_ann_ivfpq,
+        "fts_budgeted_full": _q_budgeted_full,
+        "fts_envelope": _q_envelope,
+        # --- green r02 but pushed out of the r03 window ---
+        "ts_langid": _q_ts_langid,
+        "ts_fingerprint": _q_ts_fingerprint,
+        "ann_cosine_topk": _q_ann_cosine,
+        "ann_signlsh_buckets": _q_ann_signlsh,
+        "dedup_embedding": _q_dedup_embedding,
+        "mm_decode_stub": _q_mm_decode,
     }
+    q.update({name: _mk_search(p) for name, p in _SEARCHES.items()})
     q.update({
-        "fts_numfound": _q_numfound,
         "fts_termstats": _q_termstats,
         "fts_global_stats": _q_global_stats,
         "fts_doc_stats": _q_doc_stats,
         "fts_sha256": _q_sha256,
-        "fts_delete_prefix": _q_delete_prefix,
         "fts_topk_physical": _q_topk_physical,
         "fts_topk_arrow_tok": _q_topk_arrow,
         "fts_delete_physical": _q_delete_physical,
         "fts_upsert_physical": _q_upsert_physical,
         "meta_group_count": _q_meta_group_count,
-        "meta_vocab_join": _q_meta_vocab_join,
         "meta_vocab_join_abr": _q_meta_vocab_join_abr,
-        "fts_topk_synonyms": _q_topk_synonyms,
         "fts_topk_synonyms_phrase": _q_topk_synonyms_phrase,
         "fts_numfound_physical": _q_numfound_physical,
-        "fts_topk_phrase": _q_topk_phrase,
-        "fts_topk_must": _q_topk_must,
-        "fts_topk_prohibit": _q_topk_prohibit,
         "fts_topk_boolean_mixed": _q_topk_boolean_mixed,
         "fts_numfound_boolean": _q_numfound_boolean,
         "fts_phrase_physical": _q_phrase_physical,
@@ -593,40 +637,68 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "meta_empty_value_filter": _q_empty_value_filter,
         "fts_path_prefix": _q_path_prefix,
         "fts_topk_access_anon": _q_access_anon,
-        "fts_topk_access_authed": _q_access_authed,
         "fts_ingest_acl": _q_ingest_acl,
         "fts_auth_join": _q_auth_join,
         "fts_topk_nostop": _q_topk_nostop,
         "dedup_exact_groups": _q_dedup_exact,
         "dedup_ngram_jaccard": _q_dedup_jaccard,
-        "dedup_minhash_lsh": _q_dedup_minhash,
-        "dedup_simhash": _q_dedup_simhash,
         "dedup_apply": _q_dedup_apply,
         "dedup_simhash_cand": _q_dedup_simhash_cand,
         "ts_token_count": _q_ts_token_count,
         "ts_quality": _q_ts_quality,
-        "ts_langid": _q_ts_langid,
-        "ts_fingerprint": _q_ts_fingerprint,
-        "ann_cosine_topk": _q_ann_cosine,
-        "ann_ivf_assign": _q_ann_ivf,
-        "ann_ivf_topk": _q_ann_ivf_topk,
-        "ann_ivf_mat_topk": _q_ann_ivf_materialized,
-        "ann_pq_rerank": _q_ann_pq_rerank,
-        "ann_ivfpq_topk": _q_ann_ivfpq,
-        "ann_signlsh_buckets": _q_ann_signlsh,
-        "dedup_embedding": _q_dedup_embedding,
-        "mm_decode_stub": _q_mm_decode,
     })
+    assert len(q) <= 50, f"driver window is 50; queries() has {len(q)}"
     return q
 
 
+def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Entries retired from the driver's 50-query window because a
+    canonical queries() entry covers a strict superset of their code path
+    AND oracle (VERDICT r03 'collapse redundant pairs'). They remain
+    fully oracle-gated by tests/test_entry_parity.py:
+
+      fts_topk_single/filtered/page/hot  ⊂ fts_topk_multi / _filters2 /
+                                           fts_envelope+matchall (T2) / multi
+      fts_numfound (logical)             ⊂ fts_numfound_physical (same oracle)
+      fts_delete_prefix (logical S12)    ⊂ fts_delete_physical
+      meta_vocab_join                    ⊂ meta_vocab_join_abr (adds the twin col)
+      fts_topk_synonyms                  ⊂ fts_topk_synonyms_phrase
+      fts_topk_phrase/must/prohibit      ⊂ fts_topk_boolean_mixed (logical path)
+      fts_topk_access_authed             ⊂ fts_auth_join (same access_filter)
+      dedup_minhash_lsh / dedup_simhash  ⊂ dedup_apply / dedup_simhash_cand
+      ann_ivf_assign / ann_ivf_topk      ⊂ ann_ivf_mat_topk (materialized IVF)
+    """
+    out = {name: _mk_search(p) for name, p in _EXTRA_SEARCHES.items()}
+    out.update({
+        "fts_numfound": _q_numfound,
+        "fts_delete_prefix": _q_delete_prefix,
+        "meta_vocab_join": _q_meta_vocab_join,
+        "fts_topk_synonyms": _q_topk_synonyms,
+        "fts_topk_phrase": _q_topk_phrase,
+        "fts_topk_must": _q_topk_must,
+        "fts_topk_prohibit": _q_topk_prohibit,
+        "fts_topk_access_authed": _q_access_authed,
+        "dedup_minhash_lsh": _q_dedup_minhash,
+        "dedup_simhash": _q_dedup_simhash,
+        "ann_ivf_assign": _q_ann_ivf,
+        "ann_ivf_topk": _q_ann_ivf_topk,
+    })
+    return out
+
+
 def oracle_sql() -> dict[str, str]:
+    """One SQL twin per queries() AND extra_queries() entry — the driver
+    pairs by queries() keys; the extras' twins keep the pytest parity
+    gate exact for the retired entries too."""
     out: dict[str, str] = {}
-    for name, (text, k, skip, filters) in _SEARCHES.items():
+    for name, (text, k, skip, filters) in {**_SEARCHES, **_EXTRA_SEARCHES}.items():
         if text is None:
             out[name] = osql.matchall_sql(k=k, skip=skip, filters=filters)
         else:
             out[name] = osql.bm25_topk_sql(tokenize_py(text), k=k, skip=skip, filters=filters)
+    out["fts_budgeted_full"] = osql.bm25_topk_sql(
+        tokenize_py("spark join merge"), k=10)
+    out["fts_envelope"] = osql.envelope_sql(tokenize_py("spark join"), k=10)
     out["fts_numfound"] = osql.numfound_sql(tokenize_py("spark join"))
     out["fts_termstats"] = osql.termstats_sql(["spark", "join", "dup", "customer"])
     out["fts_global_stats"] = osql.global_stats_sql()

@@ -531,6 +531,26 @@ def search_with_found(index: PhysicalIndex, text: str | None = None,
         scored.unpersist()
 
 
+def search_envelope_df(index: PhysicalIndex, text: str | None = None,
+                       k: int = 10, skip: int = 0,
+                       filters: dict[str, list[str]] | None = None,
+                       synonyms: dict[str, list[str]] | None = None,
+                       time_allowed_ms: int = 5000) -> DataFrame:
+    """S13 result-sink envelope as a DataFrame — the summary fields the
+    reference ALWAYS returns alongside the page (``found``, ``returned``,
+    ``time_allowed``; Solr.scala:91-103, api.yml:181) carried as columns
+    on the page rows, so the whole envelope is oracle-checkable as one
+    relational result. One scoring pass (search_with_found)."""
+    page, found = search_with_found(index, text, k, skip, filters,
+                                    synonyms=synonyms)
+    returned = page.count()  # page is a local k-row DataFrame
+    return page.select(
+        F.lit(int(found)).cast("long").alias("found"),
+        F.lit(int(returned)).cast("long").alias("returned"),
+        F.lit(int(time_allowed_ms)).cast("int").alias("time_allowed"),
+        "doc_id", "repo", "path", "lang", "score")
+
+
 def search_envelope_physical(index: PhysicalIndex, text: str | None = None,
                              k: int = 10, skip: int = 0,
                              filters: dict[str, list[str]] | None = None,

@@ -136,6 +136,43 @@ LIMIT {k} OFFSET {skip}
 """
 
 
+def envelope_sql(terms: list[str], k: int = 10, skip: int = 0,
+                 filters=None, time_allowed_ms: int = 5000) -> str:
+    """S13 envelope twin: the page rows with the summary fields (found,
+    returned, time_allowed) as columns — matches
+    operators/wand.search_envelope_df column-for-column."""
+    return f"""{PREFIX},
+q(term) AS (VALUES {_values(terms)}),
+sc AS (
+  SELECT tf.repo, tf.path,
+         sum( ln(1 + (g.n - dft.df + 0.5) / (dft.df + 0.5))
+              * tf.tf * ({K1} + 1.0)
+              / (tf.tf + {K1} * (1.0 - {B} + {B} * docl.dl / g.avgdl)) ) AS score
+  FROM tf
+  JOIN dft USING (term)
+  JOIN q USING (term)
+  JOIN docl USING (repo, path)
+  CROSS JOIN g
+  GROUP BY 1, 2
+),
+matched AS (
+  SELECT docl.doc_id, sc.repo, sc.path, docl.lang, sc.score
+  FROM sc JOIN docl USING (repo, path)
+  WHERE {_filters_where(filters)}
+),
+pg AS (
+  SELECT * FROM matched
+  ORDER BY score DESC, repo, path
+  LIMIT {k} OFFSET {skip}
+)
+SELECT (SELECT count(*) FROM matched) AS found,
+       (SELECT count(*) FROM pg) AS returned,
+       {int(time_allowed_ms)} AS time_allowed,
+       pg.doc_id, pg.repo, pg.path, pg.lang, round(pg.score, 4) AS score
+FROM pg
+"""
+
+
 def bm25_all_matches_sql(terms: list[str], ingest_where: str = "TRUE",
                          source_table: str = "documents",
                          pre_cte: str = "") -> str:
