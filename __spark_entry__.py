@@ -563,6 +563,26 @@ def _q_mm_decode(spark, sf_dir):
         multimodal.attach_binary_payload(_docs_raw(spark, sf_dir)))
 
 
+def _q_ann_batch(spark, sf_dir):
+    """Batch-scale ANN (the 10⁵-query corpus-vs-corpus shape): 100
+    queries as a DATAFRAME through pq_search_rerank_batch — one Spark
+    broadcast of the query table, per-query LUTs computed in-kernel, no
+    per-query driver work. Exactness gate: shortlist >= corpus ==
+    brute-force cosine_topk for the same 100 ids (hash-matched); lossy
+    dials swept in tests/test_pq.py."""
+    from easy_solr4files_index_spark.functions import pq as pqm
+
+    emb = _emb(spark, sf_dir)
+    key = (id(spark), sf_dir, "pq_books")
+    if key not in _INDEX_CACHE:
+        _INDEX_CACHE[key] = pqm.pq_train(emb, m=4, ksub=16, train_iters=3)
+    books = _INDEX_CACHE[key]
+    codes = pqm.pq_encode(emb, books)
+    qdf = pqm.queries_df_of(emb, list(range(100)))
+    return pqm.pq_search_rerank_batch(codes, emb, qdf, books, k=3,
+                                      shortlist=1 << 20)
+
+
 def _q_budgeted_full(spark, sf_dir):
     """T3 `timeAllowed` contract (SearchServlet.scala:97): with an
     effectively infinite budget the budgeted path must complete every
@@ -601,6 +621,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_mat_topk": _q_ann_ivf_materialized,
         "ann_pq_rerank": _q_ann_pq_rerank,
         "ann_ivfpq_topk": _q_ann_ivfpq,
+        "ann_batch_rerank": _q_ann_batch,
         "fts_budgeted_full": _q_budgeted_full,
         "fts_envelope": _q_envelope,
         # --- green r02 but pushed out of the r03 window ---
@@ -803,6 +824,8 @@ def oracle_sql() -> dict[str, str]:
     out["ann_ivf_mat_topk"] = similarity.cosine_topk_sql([0, 1, 2], k=5)
     out["ann_pq_rerank"] = similarity.cosine_topk_sql([0, 1, 2], k=5)
     out["ann_ivfpq_topk"] = similarity.cosine_topk_sql([0, 1, 2], k=5)
+    # batch path at shortlist >= corpus == brute force over 100 queries
+    out["ann_batch_rerank"] = similarity.cosine_topk_sql(list(range(100)), k=3)
     out["ann_signlsh_buckets"] = similarity.signlsh_buckets_sql(n_planes=4)
     out["dedup_embedding"] = similarity.embedding_near_dups_sql(threshold=0.4)
     out["mm_decode_stub"] = multimodal.decode_features_sql()

@@ -1,7 +1,8 @@
 """Product quantization (PQ) for embedding columns — the compressed
 in-memory ANN scale path, completing the similarity family (brute-force
 cosine baseline, IVF cell pruning, sign-LSH bucketing; this module adds
-the memory axis: 64-float vectors become ``m`` uint8 codes).
+the memory axis: 64-float vectors become ``m`` smallint codes — 2m bytes
+per vector vs 256 for the raw floats).
 
 Reference note: DANS-KNAW/easy-solr4files-index has no ANN surface; this
 operator family comes from the training-data-pipeline brief. Algorithm
@@ -27,6 +28,12 @@ Spark-first shape, stage by stage:
     emits only its PER-PARTITION top-k (deterministic lexsort
     tie-break) — a combiner, so the final global window ranks
     ≤ k × |queries| × n_partitions rows, never the corpus.
+  * SEARCH (batch) — pq_search_batch takes the queries as a DATAFRAME
+    and ships them through one Spark broadcast; the per-query LUTs are
+    computed IN-KERNEL once per task, so nothing per-query ever builds
+    on the driver — the 10⁵-query corpus-vs-corpus join shape
+    (training-data batch dedup/retrieval) that would bottleneck the
+    closure-captured variant.
 
 Distance/metric contract: vectors are L2-normalized inside train,
 encode, AND search, so ADC's L2² ranking equals cosine ranking
@@ -63,6 +70,10 @@ def pq_train(emb: DataFrame, m: int = 4, ksub: int = 16,
     dim = len(emb.select(vec_col).first()[0])
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m={m}")
+    if ksub > 32767:
+        # codes are stored as smallint (see pq_encode); a larger codebook
+        # would silently wrap the argmin indices
+        raise ValueError(f"ksub={ksub} exceeds the smallint code range (32767)")
     dsub = dim // m
     unit = emb.select(F.col(id_col).alias("vec_id"),
                       _normalized(F.col(vec_col)).alias("v"))
@@ -82,7 +93,9 @@ def pq_encode(emb: DataFrame, codebooks: list[list[list[float]]],
               id_col: str = "vec_id") -> DataFrame:
     """(vec_id, codes array<smallint>) — one vectorized argmin pass.
     Ties go to the lowest code (numpy argmin), so encoding is
-    deterministic regardless of partitioning."""
+    deterministic regardless of partitioning. Codes are smallint
+    (2 bytes each on disk/in memory — 2m bytes per vector; pq_train caps
+    ksub at 32767 so indices never wrap)."""
     books = [np.asarray(b, dtype=np.float64) for b in codebooks]
     m = len(books)
     dsub = books[0].shape[1]
@@ -197,6 +210,130 @@ def pq_search_rerank(codes: DataFrame, emb: DataFrame,
         "query_id long, qv array<double>")
     raw = emb.select(F.col(id_col).alias("neighbor_id"),
                      _as_double(F.col(vec_col)).alias("v"))
+    from .similarity import _dot, _norm
+    pairs = (cand.join(raw, "neighbor_id").join(F.broadcast(qdf), "query_id")
+             .withColumn("cos", F.round(
+                 _dot(F.col("qv"), F.col("v"))
+                 / (_norm(F.col("qv")) * _norm(F.col("v"))), 6)))
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(),
+                                               F.col("neighbor_id").asc())
+    return (pairs.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "cos", "rank"))
+
+
+def queries_df_of(emb: DataFrame, query_ids: list[int],
+                  vec_col: str = "embedding",
+                  id_col: str = "vec_id") -> DataFrame:
+    """(query_id, qv) query table for the batch search path — a plan, not
+    a driver-side list (the id filter is pushed to the scan)."""
+    return (emb.filter(F.col(id_col).isin(query_ids))
+            .select(F.col(id_col).alias("query_id"),
+                    F.col(vec_col).alias("qv")))
+
+
+def pq_search_batch(codes: DataFrame, queries_df: DataFrame,
+                    codebooks: list[list[list[float]]], k: int = 5,
+                    query_chunk: int = 512) -> DataFrame:
+    """(query_id, neighbor_id, acos, rank) — ADC top-k for a BATCH query
+    table (query_id long, qv array<numeric>).
+
+    The batch-scale shape (VERDICT r03 #4): ``pq_search`` takes a Python
+    list and builds every query's m×ksub LUT on the driver, which is fine
+    for interactive k queries but serializes O(|Q|·m·ksub) driver work —
+    at 10⁵ queries (corpus-vs-corpus retrieval, the training-data use
+    case) the driver becomes the bottleneck. Here the query table moves
+    as ONE Spark broadcast (torrent at cluster scale, not task-closure
+    pickle) and each task computes the LUTs in-kernel, once, vectorized.
+
+    Kernel math per Arrow batch, all numpy (no per-row or per-query
+    Python on the scoring path): distances for a ``query_chunk``-sized
+    slab of queries at a time (bounds the (chunk × batch) matrix), self
+    matches masked to +inf, and the per-partition candidate cut keeps
+    every row with d2 <= the k-th smallest (tie-INCLUSIVE — ties at the
+    boundary survive to the global window, whose deterministic
+    (d2, neighbor_id) order resolves them exactly like the per-query
+    lexsort in pq_search). The global window therefore ranks a
+    combiner-sized stream, never |Q| × corpus."""
+    books = [np.asarray(b, dtype=np.float64) for b in codebooks]
+    m = len(books)
+    dsub = books[0].shape[1]
+    qpdf = queries_df.select("query_id", _as_double(F.col("qv")).alias("qv")).toPandas()
+    qids = qpdf["query_id"].to_numpy(np.int64)
+    qmat = np.stack(qpdf["qv"].to_numpy()).astype(np.float64)
+    norms = np.linalg.norm(qmat, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    qmat = qmat / norms
+    sc = codes.sparkSession.sparkContext
+    bq = sc.broadcast((qids, qmat))
+    bb = sc.broadcast(books)
+
+    def kernel(batches):
+        import pandas as pd
+        qids_, qmat_ = bq.value
+        books_ = bb.value
+        nq = len(qids_)
+        # LUTs once per task, vectorized over ALL queries:
+        # luts[j] has shape (nq, ksub) = ||q_j-slice - codebook_j||^2
+        luts = [(((qmat_[:, None, j * dsub:(j + 1) * dsub]
+                   - books_[j][None, :, :]) ** 2).sum(axis=2))
+                for j in range(m)]
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            codes_np = np.stack(pdf["codes"].to_numpy()).astype(np.int64)
+            ids = pdf["vec_id"].to_numpy()
+            n = ids.shape[0]
+            out_q, out_n, out_d = [], [], []
+            for lo in range(0, nq, query_chunk):
+                hi = min(lo + query_chunk, nq)
+                d2 = luts[0][lo:hi][:, codes_np[:, 0]].copy()
+                for j in range(1, m):
+                    d2 += luts[j][lo:hi][:, codes_np[:, j]]
+                d2[qids_[lo:hi, None] == ids[None, :]] = np.inf
+                if n > k:
+                    thresh = np.partition(d2, k - 1, axis=1)[:, k - 1:k]
+                    keep = (d2 <= thresh) & np.isfinite(d2)
+                else:
+                    keep = np.isfinite(d2)
+                qi, ci = np.nonzero(keep)
+                out_q.append(qids_[lo + qi])
+                out_n.append(ids[ci])
+                out_d.append(d2[qi, ci])
+            if out_q:
+                yield pd.DataFrame({"query_id": np.concatenate(out_q),
+                                    "neighbor_id": np.concatenate(out_n),
+                                    "d2": np.concatenate(out_d)})
+
+    cand = codes.mapInPandas(
+        kernel, "query_id long, neighbor_id long, d2 double")
+    w = Window.partitionBy("query_id").orderBy(F.col("d2").asc(),
+                                               F.col("neighbor_id").asc())
+    return (cand.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id",
+                    F.round(1.0 - F.col("d2") / 2.0, 6).alias("acos"),
+                    "rank"))
+
+
+def pq_search_rerank_batch(codes: DataFrame, emb: DataFrame,
+                           queries_df: DataFrame,
+                           codebooks: list[list[list[float]]], k: int = 5,
+                           shortlist: int | None = None,
+                           vec_col: str = "embedding",
+                           id_col: str = "vec_id") -> DataFrame:
+    """Batch ADC shortlist → exact-cosine re-rank: pq_search_rerank with
+    the query side a DataFrame end-to-end (candidates via
+    pq_search_batch's broadcast/in-kernel-LUT path; the re-rank joins the
+    query table directly — no createDataFrame from a Python list). At
+    shortlist ≥ corpus this is rank-identical to brute-force cosine_topk
+    for the same query ids (CORRECTNESS `ann_batch_rerank`, ≥100 queries)."""
+    shortlist = 4 * k if shortlist is None else shortlist
+    cand = pq_search_batch(codes, queries_df, codebooks, k=shortlist).select(
+        "query_id", "neighbor_id")
+    raw = emb.select(F.col(id_col).alias("neighbor_id"),
+                     _as_double(F.col(vec_col)).alias("v"))
+    qdf = queries_df.select("query_id", _as_double(F.col("qv")).alias("qv"))
     from .similarity import _dot, _norm
     pairs = (cand.join(raw, "neighbor_id").join(F.broadcast(qdf), "query_id")
              .withColumn("cos", F.round(

@@ -102,6 +102,43 @@ def test_pq_encode_shape_and_partition_invariance(emb):
     assert s1 == s2
 
 
+def test_pq_batch_matches_per_query_kernel(emb):
+    """The DataFrame-batch kernel (broadcast query table + in-kernel
+    LUTs + tie-inclusive per-partition cut) returns exactly what the
+    per-query driver-LUT kernel returns — same codebooks, same k."""
+    books = pq.pq_train(emb, m=4, ksub=16, train_iters=3)
+    codes = pq.pq_encode(emb, books)
+    per_q = sorted(map(tuple, pq.pq_search(
+        codes, pq.queries_of(emb, QIDS), books, k=5).collect()))
+    batch = sorted(map(tuple, pq.pq_search_batch(
+        codes, pq.queries_df_of(emb, QIDS), books, k=5).collect()))
+    assert batch == per_q
+
+
+def test_pq_batch_rerank_exact_gate_100_queries(spark, emb):
+    """Batch re-rank at shortlist >= corpus == brute force over 100
+    queries (the driver's ann_batch_rerank gate, asserted locally too);
+    also partition-invariant."""
+    qids = list(range(100))
+    books = pq.pq_train(emb, m=4, ksub=16, train_iters=3)
+    codes = pq.pq_encode(emb, books)
+    qdf = pq.queries_df_of(emb, qids)
+    got = sorted(map(tuple, pq.pq_search_rerank_batch(
+        codes, emb, qdf, books, k=3, shortlist=emb.count()).collect()))
+    exact = sorted(map(tuple, cosine_topk(emb, qids, k=3).collect()))
+    assert got == exact
+    got2 = sorted(map(tuple, pq.pq_search_rerank_batch(
+        codes.repartition(7), emb, qdf, books, k=3,
+        shortlist=emb.count()).collect()))
+    assert got2 == got
+
+
+def test_pq_train_ksub_guard(emb):
+    """smallint code storage: ksub past the int16 range must refuse."""
+    with pytest.raises(ValueError, match="smallint"):
+        pq.pq_train(emb, m=4, ksub=40000, train_iters=0)
+
+
 def test_ivfpq_exact_gate_and_reopen(spark, emb, brute, tmp_path):
     """IVF+PQ composition (functions/ivfpq.py): nprobe=all +
     shortlist >= corpus is rank-identical to brute force; the persisted
