@@ -563,6 +563,27 @@ def _q_mm_decode(spark, sf_dir):
         multimodal.attach_binary_payload(_docs_raw(spark, sf_dir)))
 
 
+def _index_catenate(spark: SparkSession, sf_dir: str) -> FtsIndex:
+    """X4 catenateWords=1 on the DEFAULT Catalyst chain (reference's
+    identifier analyzer emits parts + the catenated word,
+    schema.xml:592): every multi-part word additionally indexes its
+    delimiter-deleted form — e.g. the path word docs/00000007.txt
+    indexes docs, 00000007, txt AND docs00000007txt."""
+    key = (id(spark), sf_dir, "catenate")
+    if key not in _INDEX_CACHE:
+        _INDEX_CACHE[key] = build_index(
+            spark, load_docs(spark, sf_dir), IndexConfig(catenate_words=True))
+    return _INDEX_CACHE[key]
+
+
+def _q_topk_catenate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4: a single-token query hits a term that only EXISTS via
+    catenation, mixed with a normal term — dl/avgdl/df all shift under
+    the catenate chain, so the whole scoring pipeline is re-derived by
+    the oracle with the same chain."""
+    return search(_index_catenate(spark, sf_dir), "spark docs00000007txt", k=10)
+
+
 def _q_ann_batch(spark, sf_dir):
     """Batch-scale ANN (the 10⁵-query corpus-vs-corpus shape): 100
     queries as a DATAFRAME through pq_search_rerank_batch — one Spark
@@ -624,6 +645,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_batch_rerank": _q_ann_batch,
         "fts_budgeted_full": _q_budgeted_full,
         "fts_envelope": _q_envelope,
+        "fts_topk_catenate": _q_topk_catenate,
         # --- green r02 but pushed out of the r03 window ---
         "ts_langid": _q_ts_langid,
         "ts_fingerprint": _q_ts_fingerprint,
@@ -720,6 +742,10 @@ def oracle_sql() -> dict[str, str]:
     out["fts_budgeted_full"] = osql.bm25_topk_sql(
         tokenize_py("spark join merge"), k=10)
     out["fts_envelope"] = osql.envelope_sql(tokenize_py("spark join"), k=10)
+    # catenate chain: query text keeps the SPLIT chain (tokenize_py), the
+    # oracle rebuilds tf/df/dl/avgdl under the catenateWords analyzer
+    out["fts_topk_catenate"] = osql.bm25_topk_sql(
+        tokenize_py("spark docs00000007txt"), k=10, catenate=True)
     out["fts_numfound"] = osql.numfound_sql(tokenize_py("spark join"))
     out["fts_termstats"] = osql.termstats_sql(["spark", "join", "dup", "customer"])
     out["fts_global_stats"] = osql.global_stats_sql()

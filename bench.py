@@ -62,10 +62,24 @@ SCALE_TRIALS = int(os.environ.get("SPARK_GRAFT_SCALE_TRIALS", "2"))
 #   2:8 — the historical pair (rounds 1-2), kept for comparability;
 #         its high leg needs 8 effective cores, which this VM only
 #         sometimes delivers — expect noisier raw numbers.
-SCALE_PAIRS: list[tuple[int, int]] = [
-    tuple(int(x) for x in p.split(":"))
-    for p in os.environ.get("SPARK_GRAFT_SCALE_PAIRS", "1:4,2:8").split(",")
-]
+def _scale_pairs_from_env() -> list[tuple[int, int]]:
+    """SPARK_GRAFT_SCALE_PAIRS="1:4,2:8" wins; the older
+    SPARK_GRAFT_SCALE_LOW/HIGH pair (rounds 1-2) still maps to a single
+    pair rather than being silently ignored. Setting both is ambiguous
+    and fails loudly."""
+    pairs_env = os.environ.get("SPARK_GRAFT_SCALE_PAIRS")
+    low, high = (os.environ.get("SPARK_GRAFT_SCALE_LOW"),
+                 os.environ.get("SPARK_GRAFT_SCALE_HIGH"))
+    if pairs_env and (low or high):
+        raise SystemExit("set either SPARK_GRAFT_SCALE_PAIRS or "
+                         "SPARK_GRAFT_SCALE_LOW/HIGH, not both")
+    if low or high:
+        return [(int(low or 2), int(high or 8))]
+    return [tuple(int(x) for x in p.split(":"))
+            for p in (pairs_env or "1:4,2:8").split(",")]
+
+
+SCALE_PAIRS: list[tuple[int, int]] = _scale_pairs_from_env()
 
 # query set for the synthetic scale corpus (Zipf vocab of scale_corpus.py:
 # 'def' ~hottest keyword, parseBuild ~hot identifier, long-tail pairs) —
@@ -349,28 +363,40 @@ def write_scaling_report(s: dict, path: str = "BENCH/BASELINE.md") -> None:
         i = old.find("## Addendum")
         if i >= 0:
             tail = "\n" + old[i:]
-    any_raw = any(p["build_scaling_efficiency"] >= 0.8 for p in pairs.values())
-    any_norm = any(p.get("calibration_window_consistent", True)
-                   and (p.get("build_efficiency_vs_hw") or 0) >= 0.8
-                   for p in pairs.values())
-    if any_raw:
-        verdict_line = ("The >=0.8 criterion is MET RAW on at least one "
-                        "measured N->4N pair (see the per-pair tables).")
-    elif any_norm:
+    # the headline verdict is keyed to the DECLARED primary pair; the
+    # other pairs are reported per-pair below as supporting evidence only
+    primary_label = s.get("primary") or next(iter(pairs))
+    prim = pairs[primary_label]
+    prim_raw = prim["build_scaling_efficiency"] >= 0.8
+    prim_norm = (prim.get("calibration_window_consistent", True)
+                 and (prim.get("build_efficiency_vs_hw") or 0) >= 0.8)
+    others = ""
+    if len(pairs) > 1:
+        others = (" Supporting pairs: "
+                  + "; ".join(f"{lbl} raw {p['build_scaling_efficiency']}"
+                              for lbl, p in pairs.items()
+                              if lbl != primary_label) + ".")
+    if prim_raw:
+        verdict_line = (f"The >=0.8 criterion is MET RAW on the primary "
+                        f"pair {primary_label} (raw efficiency "
+                        f"{prim['build_scaling_efficiency']})." + others)
+    elif prim_norm:
         verdict_line = (
-            "The >=0.8 criterion is NOT met raw in this environment but IS "
-            "met normalized to the host's measured scaling ceiling: this "
+            f"The >=0.8 criterion is NOT met raw on the primary pair "
+            f"{primary_label} (raw {prim['build_scaling_efficiency']}) but "
+            "IS met normalized to the host's measured scaling ceiling: this "
             "VM's memory bandwidth stops scaling long before 4x cores (see "
             "the per-pair calibrations) — no data-movement job can beat "
             "that wall in-sandbox; a real multi-executor cluster adds "
-            "memory channels with every node.")
+            "memory channels with every node." + others)
     else:
         verdict_line = (
-            "The >=0.8 criterion is NOT met in this environment (raw or "
-            "normalized): the sandbox's overcommitted vCPUs/memory bus are "
-            "the binding constraint (see the ceilings below and the "
-            "addendum); demonstrating it requires an uncontended host or a "
-            "real multi-executor cluster.")
+            f"The >=0.8 criterion is NOT met on the primary pair "
+            f"{primary_label} in this environment (raw or normalized): the "
+            "sandbox's overcommitted vCPUs/memory bus are the binding "
+            "constraint (see the ceilings below and the addendum); "
+            "demonstrating it requires an uncontended host or a real "
+            "multi-executor cluster." + others)
 
     first = next(iter(pairs.values()))
     res = first["results"]
@@ -458,6 +484,14 @@ if __name__ == "__main__":
         with open("bench_maintenance.json", "w") as fh:
             json.dump(m, fh, indent=2)
         print(json.dumps(m))
+    elif "--pipeline" in sys.argv:
+        from easy_solr4files_index_spark.benchmark import (
+            run_pipeline, write_pipeline_report)
+        p = run_pipeline(CPUS)
+        write_pipeline_report(p)
+        with open("bench_pipeline.json", "w") as fh:
+            json.dump(p, fh, indent=2)
+        print(json.dumps(p))
     elif "--corpus-curve" in sys.argv:
         from easy_solr4files_index_spark.benchmark import (
             run_corpus_curve, write_corpus_report)

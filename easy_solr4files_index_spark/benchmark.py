@@ -122,6 +122,17 @@ def run_suite(sf_dir: str, cpus: int) -> dict:
         except (OSError, KeyError, ValueError):
             pass
 
+        # training-data pipeline timings (dedup/ANN at 200k docs) ride the
+        # headline JSON when a `bench.py --pipeline` run exists, same
+        # pattern as the maintenance curve above
+        pipeline = {}
+        try:
+            import json as _json
+            with open("bench_pipeline.json") as fh:
+                pipeline = {"pipeline": _json.load(fh)}
+        except (OSError, ValueError):
+            pass
+
         return {
             "metric": ("index-build throughput (files/sec) + query p95 latency, "
                        "block-max WAND BM25 over term-partitioned varbyte postings"),
@@ -142,6 +153,7 @@ def run_suite(sf_dir: str, cpus: int) -> dict:
             "cpus": cpus,
             **qps,
             **upsert,
+            **pipeline,
         }
     finally:
         shutil.rmtree(index_dir, ignore_errors=True)
@@ -426,6 +438,9 @@ SCALE_QUERIES: dict[str, tuple[str | None, int, int, dict | None]] = {
     "s3_multi": ("merge block scan", 10, 0, None),
     "s4_tail": ("swapRing allocHeap", 10, 0, None),
     "s5_filtered": ("token score", 10, 0, {"lang": ["python", "go"]}),
+    # round-4: the positions-dataset path (phrase tf) in the scaling and
+    # corpus-curve evidence, not just the sf0.1 headline bench
+    "s6_phrase": ('"merge block" scan', 10, 0, None),
 }
 
 
@@ -475,15 +490,16 @@ def run_corpus_curve(cpus: int,
     spark.sparkContext.setLogLevel("ERROR")
     out: dict = {"cpus": cpus, "build_trials": build_trials,
                  "query_reps": query_reps, "sizes": {}}
+    tmp_dirs: list[str] = []
     try:
         warm_path = materialize_scale_corpus(
             spark, 5_000, "/tmp/fts_scale_corpus_v2_5000")
         warm_dir = tempfile.mkdtemp(prefix="fts_curve_warm_")
+        tmp_dirs.append(warm_dir)
         write_index(spark, spark.read.parquet(warm_path), warm_dir,
                     lineage_groups=1)
         widx = open_index(spark, warm_dir)
         search_blockmax(widx, "def", k=5).collect()
-        shutil.rmtree(warm_dir, ignore_errors=True)
 
         for n in sizes:
             path = materialize_scale_corpus(
@@ -492,9 +508,8 @@ def run_corpus_curve(cpus: int,
             build_secs = []
             index_dir = None
             for _ in range(build_trials):
-                if index_dir:
-                    shutil.rmtree(index_dir, ignore_errors=True)
                 index_dir = tempfile.mkdtemp(prefix=f"fts_curve_{n}_")
+                tmp_dirs.append(index_dir)
                 t0 = time.perf_counter()
                 write_index(spark, docs, index_dir, lineage_groups=1)
                 build_secs.append(time.perf_counter() - t0)
@@ -512,18 +527,20 @@ def run_corpus_curve(cpus: int,
                     times.append(time.perf_counter() - t0)
                 per_query[name] = round(min(times), 3)
             worst = max(per_query.values())
+            index_bytes = _dir_bytes(index_dir)
             out["sizes"][n] = {
                 "build_sec": round(build_s, 2),
                 "build_sec_trials": [round(s, 2) for s in build_secs],
                 "files_per_sec": round(n / build_s, 1),
-                "index_bytes": _dir_bytes(index_dir),
-                "bytes_per_doc": round(_dir_bytes(index_dir) / n, 1),
+                "index_bytes": index_bytes,
+                "bytes_per_doc": round(index_bytes / n, 1),
                 "queries": per_query,
                 "query_worst_sec": worst,
             }
-            shutil.rmtree(index_dir, ignore_errors=True)
     finally:
         spark.stop()
+        for d in tmp_dirs:
+            shutil.rmtree(d, ignore_errors=True)
     return out
 
 
@@ -548,14 +565,17 @@ def write_corpus_report(c: dict, path: str = "BENCH/CORPUS.md") -> None:
     ]
     for n in sizes:
         e = c["sizes"][n]
-        qs = " | ".join(str(e["queries"][q]) for q in SCALE_QUERIES)
+        # "—" = query not measured in that cell (set drift across merged
+        # rounds, e.g. s6_phrase added in r4)
+        qs = " | ".join(str(e["queries"].get(q, "—")) for q in SCALE_QUERIES)
         lines.append(f"| {n} | {e['build_sec']} | {e['files_per_sec']} | "
                      f"{e['bytes_per_doc']} | {qs} |\n")
     lo, hi = c["sizes"][sizes[0]], c["sizes"][sizes[-1]]
     growth = sizes[-1] / sizes[0]
     bt_growth = hi["build_sec"] / max(lo["build_sec"], 1e-9)
     qgrow = {q: round(hi["queries"][q] / max(lo["queries"][q], 1e-9), 2)
-             for q in SCALE_QUERIES}
+             for q in SCALE_QUERIES
+             if q in hi["queries"] and q in lo["queries"]}
     lines.append(
         f"\nReading: corpus grows {growth:.0f}x "
         f"({sizes[0]} → {sizes[-1]} docs). Build wall-time grows only "
@@ -574,3 +594,171 @@ def write_corpus_report(c: dict, path: str = "BENCH/CORPUS.md") -> None:
         "\n")
     with open(path, "w") as fh:
         fh.write("".join(lines))
+
+
+# ---------------------------------------------------------------------------
+# Training-data pipeline bench (VERDICT r03 #9): the dedup/ANN operators
+# timed at 200k-doc / 200k-vector scale — none of them appeared in any
+# harness before round 4.
+# ---------------------------------------------------------------------------
+
+def _synth_embeddings(spark, n_vecs: int, dim: int, path: str):
+    """Deterministic synthetic (vec_id, embedding array<double>) corpus,
+    materialized to parquet once per (n, dim) so search trials never time
+    generation. All JVM-side (xxhash64 over (id, j, seed)) — no driver
+    data, any n_vecs; components uniform in [-1, 1)."""
+    done = os.path.join(path, "_DONE")
+    if not os.path.exists(done):
+        from pyspark.sql import functions as F
+        emb = spark.range(n_vecs).select(
+            F.col("id").alias("vec_id"),
+            F.transform(
+                F.sequence(F.lit(0), F.lit(dim - 1)),
+                lambda j: (F.pmod(F.xxhash64(F.col("id"), j, F.lit(7)),
+                                  F.lit(2_000_000)).cast("double")
+                           - 1_000_000.0) / 1_000_000.0,
+            ).alias("embedding"))
+        emb.write.mode("overwrite").parquet(path)
+        with open(done, "w") as fh:
+            fh.write(str(n_vecs))
+    return spark.read.parquet(path)
+
+
+def run_pipeline(cpus: int, n_docs: int = 200_000, dim: int = 32,
+                 n_queries: int = 100, search_reps: int = 2) -> dict:
+    """Time the composed training-data operators at scale-corpus size:
+
+      * dedup_apply — MinHash-LSH → Jaccard verify → connected
+        components → keep, over the 200k-doc scale corpus salted with 2%
+        exact-text duplicates (different repo/path, same content) so the
+        verifier and the label-propagation loop do real work;
+      * ivf_build + ivf_search — materialized centroid-partitioned ANN
+        over 200k deterministic synthetic vectors, 100-query batch,
+        nprobe = n_centroids/8 (the pruned scan path);
+      * ivfpq_build + ivfpq_search — the compressed-code variant
+        (IVFADC + exact re-rank);
+      * pq_search_rerank_batch — the batch-DataFrame ADC path over the
+        SAME codes table (the 10^5-query corpus-vs-corpus shape, here at
+        100 queries).
+
+    Searches take min over ``search_reps``; builds are single-shot
+    (mutating a fresh tmpdir each trial would time mkdir/rm churn more
+    than the engine — the corpus/build sizes dominate instead).
+    """
+    from pyspark.sql import functions as F
+
+    from .functions.dedup import dedup_apply
+    from .functions.ivf import ivf_build, ivf_search, queries_from_emb
+    from .functions.ivfpq import ivfpq_build, ivfpq_search
+    from .functions.pq import pq_search_rerank_batch, queries_df_of
+    from .session import get_spark
+    from .sources.scale_corpus import materialize_scale_corpus
+
+    spark = get_spark("bench-pipeline", cpus=cpus, shuffle_partitions=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+    out: dict = {"cpus": cpus, "n_docs": n_docs, "n_vecs": n_docs,
+                 "dim": dim, "n_queries": n_queries,
+                 "search_reps": search_reps}
+    tmp_dirs: list[str] = []
+    try:
+        # --- dedup over the salted scale corpus -------------------------
+        corpus = spark.read.parquet(materialize_scale_corpus(
+            spark, n_docs, f"/tmp/fts_scale_corpus_v2_{n_docs}"))
+        dupes = (corpus.orderBy("path").limit(max(1, n_docs // 50))
+                 .withColumn("repo", F.concat(F.lit("dup-"), F.col("repo")))
+                 .withColumn("path", F.concat(F.lit("dup/"), F.col("path"))))
+        docs = (corpus.unionByName(dupes)
+                .withColumn("doc_id", F.xxhash64("repo", "path"))
+                .select("doc_id", F.col("content").alias("text")))
+        t0 = time.perf_counter()
+        dd = dedup_apply(docs, threshold=0.6)
+        n_total = dd.count()
+        n_dropped = dd.filter(F.col("keep_doc_id") != F.col("doc_id")).count()
+        out["dedup_apply_sec"] = round(time.perf_counter() - t0, 2)
+        out["dedup_docs"] = n_total
+        out["dedup_dropped"] = n_dropped
+        out["dedup_docs_per_sec"] = round(n_total / out["dedup_apply_sec"], 1)
+
+        # --- ANN over deterministic synthetic vectors -------------------
+        emb = _synth_embeddings(
+            spark, n_docs, dim, f"/tmp/fts_scale_emb_{n_docs}_{dim}")
+        qids = list(range(0, n_queries * 7, 7))  # spread across cells
+        n_cent = 64
+
+        ivf_dir = tempfile.mkdtemp(prefix="fts_bench_ivf_")
+        tmp_dirs.append(ivf_dir)
+        t0 = time.perf_counter()
+        ivf = ivf_build(spark, emb, ivf_dir, n_centroids=n_cent,
+                        kmeans_iters=2)
+        out["ivf_build_sec"] = round(time.perf_counter() - t0, 2)
+        q = queries_from_emb(emb, qids)
+        times = []
+        for _ in range(search_reps):
+            t0 = time.perf_counter()
+            n_ivf = ivf_search(ivf, q, k=10, nprobe=8).count()
+            times.append(time.perf_counter() - t0)
+        out["ivf_search_sec"] = round(min(times), 2)
+        out["ivf_search_rows"] = n_ivf
+        out["ivf_search_qps"] = round(n_queries / out["ivf_search_sec"], 1)
+
+        pq_dir = tempfile.mkdtemp(prefix="fts_bench_ivfpq_")
+        tmp_dirs.append(pq_dir)
+        t0 = time.perf_counter()
+        ivfpq = ivfpq_build(spark, emb, pq_dir, n_centroids=n_cent,
+                            m=4, ksub=64, kmeans_iters=2, train_iters=2)
+        out["ivfpq_build_sec"] = round(time.perf_counter() - t0, 2)
+        times = []
+        for _ in range(search_reps):
+            t0 = time.perf_counter()
+            n_ipq = ivfpq_search(ivfpq, emb, qids, k=10, nprobe=8,
+                                 shortlist=50).count()
+            times.append(time.perf_counter() - t0)
+        out["ivfpq_search_sec"] = round(min(times), 2)
+        out["ivfpq_search_rows"] = n_ipq
+        out["ivfpq_search_qps"] = round(n_queries / out["ivfpq_search_sec"], 1)
+
+        # batch-DataFrame ADC + re-rank over the SAME codes table
+        codes = ivfpq.cells_codes.select("vec_id", "codes")
+        qdf = queries_df_of(emb, qids)
+        times = []
+        for _ in range(search_reps):
+            t0 = time.perf_counter()
+            n_b = pq_search_rerank_batch(codes, emb, qdf, ivfpq.books,
+                                         k=10, shortlist=50).count()
+            times.append(time.perf_counter() - t0)
+        out["pq_batch_rerank_sec"] = round(min(times), 2)
+        out["pq_batch_rerank_rows"] = n_b
+        out["pq_batch_qps"] = round(n_queries / out["pq_batch_rerank_sec"], 1)
+    finally:
+        spark.stop()
+        for d in tmp_dirs:
+            shutil.rmtree(d, ignore_errors=True)
+    return out
+
+
+def write_pipeline_report(p: dict, path: str = "BENCH/PIPELINE.md") -> None:
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with open(path, "w") as fh:
+        fh.write(f"""# Training-data pipeline bench — dedup + ANN at scale
+
+Regenerate with `python bench.py --pipeline` (local[{p['cpus']}],
+{p['n_docs']} docs / {p['n_vecs']} vectors dim={p['dim']},
+{p['n_queries']}-query batches, searches min of {p['search_reps']} reps;
+same VM-noise caveats as every harness here).
+
+| operator | wall (s) | throughput |
+|---|---|---|
+| dedup_apply (LSH→verify→components→keep), {p['dedup_docs']} docs, {p['dedup_dropped']} dropped | {p['dedup_apply_sec']} | {p['dedup_docs_per_sec']} docs/s |
+| ivf_build (64 cells, 2 kmeans iters) | {p['ivf_build_sec']} | — |
+| ivf_search (k=10, nprobe=8, {p['n_queries']} queries) | {p['ivf_search_sec']} | {p['ivf_search_qps']} q/s |
+| ivfpq_build (64 cells, m=4, ksub=64) | {p['ivfpq_build_sec']} | — |
+| ivfpq_search (ADC shortlist 50 + exact re-rank) | {p['ivfpq_search_sec']} | {p['ivfpq_search_qps']} q/s |
+| pq_search_rerank_batch (batch-DataFrame ADC path) | {p['pq_batch_rerank_sec']} | {p['pq_batch_qps']} q/s |
+
+Scale shape (why these numbers survive 100 TB): dedup verifies only
+LSH-candidate pairs and propagates labels over candidate edges (never
+all-pairs); both ANN searches scan only probed `centroid_id` partitions
+(parquet partition pruning, PLANS.md) and the batch path broadcasts the
+query table once, computing ADC LUTs in-kernel — no per-query driver
+work on the scoring path.
+""")

@@ -29,7 +29,8 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark import StorageLevel
 
-from ..functions.tokenizer import LUCENE_STOPWORDS, make_tokenize_udf, tokenize_expr
+from ..functions.tokenizer import (LUCENE_STOPWORDS, make_tokenize_udf,
+                                   tokenize_expr, tokenize_expr_catenate)
 from .docids import assign_doc_ids
 
 
@@ -40,6 +41,14 @@ class IndexConfig:
     stopwords: tuple[str, ...] = LUCENE_STOPWORDS
     include_path_tokens: bool = True   # schema.xml:310 copyField path -> text
     use_arrow_tokenizer: bool = False  # pandas-UDF chain instead of codegen exprs
+    catenate_words: bool = False       # WordDelimiterGraph catenateWords=1
+                                       # (schema.xml:592): multi-part identifiers
+                                       # additionally index their catenated form
+                                       # ("getHTTPResponse" -> parts +
+                                       # "gethttpresponse"); index-side only —
+                                       # query text keeps the split chain, and a
+                                       # single-token query matches the
+                                       # catenated term directly
     bucket_span: int = 4096            # doc_ids per posting block bucket (physical index)
     term_buckets: int = 32             # hash-partition count of the physical index
     index_positions: bool = True       # write the positions/ dataset (phrase
@@ -78,12 +87,20 @@ def _searchable_text(config: IndexConfig):
     return F.col("content")
 
 
+def _tokenize_col(config: IndexConfig):
+    """The configured analyzer chain as a Column over the searchable text."""
+    if config.use_arrow_tokenizer:
+        return make_tokenize_udf(config.stopwords,
+                                 catenate=config.catenate_words)(
+            _searchable_text(config))
+    if config.catenate_words:
+        return tokenize_expr_catenate(_searchable_text(config), config.stopwords)
+    return tokenize_expr(_searchable_text(config), config.stopwords)
+
+
 def tokens_df(docs_with_ids: DataFrame, config: IndexConfig) -> DataFrame:
     """(doc_id, tokens array<string>, dl int)"""
-    if config.use_arrow_tokenizer:
-        tok = make_tokenize_udf(config.stopwords)(_searchable_text(config))
-    else:
-        tok = tokenize_expr(_searchable_text(config), config.stopwords)
+    tok = _tokenize_col(config)
     return docs_with_ids.select(
         "doc_id", tok.alias("tokens")
     ).withColumn("dl", F.size("tokens").cast("long"))
@@ -97,10 +114,7 @@ def enrich_docs(docs_with_ids: DataFrame, config: IndexConfig) -> DataFrame:
     Any extra metadata columns on the source (e.g. the access-control
     columns accessible_to/date_available/depositor — SURVEY.md P6/P9/P10)
     ride through into docs_store as plain filterable columns."""
-    if config.use_arrow_tokenizer:
-        tok = make_tokenize_udf(config.stopwords)(_searchable_text(config))
-    else:
-        tok = tokenize_expr(_searchable_text(config), config.stopwords)
+    tok = _tokenize_col(config)
     core = ["doc_id", "repo", "path", "commit", "lang"]
     extras = [c for c in docs_with_ids.columns if c not in core + ["content"]]
     return docs_with_ids.select(

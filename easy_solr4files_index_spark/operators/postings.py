@@ -563,6 +563,7 @@ def write_index(spark: SparkSession, docs: DataFrame, index_dir: str,
             "stopwords": list(config.stopwords),
             "include_path_tokens": config.include_path_tokens,
             "index_positions": config.index_positions,
+            "catenate_words": config.catenate_words,
             # incremental-maintenance state (operators/maintenance.py):
             # smallest avgdl any stored max_tfnorm was encoded with (query-
             # side UB inflation keeps pruning safe after avgdl drifts), and
@@ -698,7 +699,8 @@ def open_index(spark: SparkSession, index_dir: str) -> PhysicalIndex:
                          include_path_tokens=meta["include_path_tokens"],
                          bucket_span=meta["bucket_span"],
                          term_buckets=meta["term_buckets"],
-                         index_positions=bool(meta.get("index_positions", False)))
+                         index_positions=bool(meta.get("index_positions", False)),
+                         catenate_words=bool(meta.get("catenate_words", False)))
     generation = int(meta.get("generation", 0))
     tomb_path = os.path.join(index_dir, gen_name("_tombstones", generation))
     tombstones: tuple[tuple[int, int], ...] = ()

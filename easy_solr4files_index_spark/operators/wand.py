@@ -303,10 +303,15 @@ def _score_boolean_physical(index: PhysicalIndex, clauses,
 
 def search_blockmax(index: PhysicalIndex, text: str | None = None, k: int = 10,
                     skip: int = 0, filters: dict[str, list[str]] | None = None,
-                    round_score: int | None = 4, prune: bool = True,
+                    round_score: int | None = 4, prune: bool | None = None,
                     synonyms: dict[str, list[str]] | None = None) -> DataFrame:
     """Top-k page over the physical index; result schema matches
-    operators.query.search (doc_id, repo, path, lang, score)."""
+    operators.query.search (doc_id, repo, path, lang, score).
+
+    ``prune`` is tri-state: ``None`` (default) lets the measured cutover
+    heuristic pick between the one-job exhaustive plan and the two-phase
+    block-max pruned plan; ``True`` forces the pruned plan regardless of
+    index size; ``False`` forces the exhaustive plan."""
     page, _ = _blockmax(index, text, k, skip, filters, round_score, prune,
                         synonyms, time_allowed_ms=None)
     return page
@@ -331,12 +336,12 @@ def search_budgeted(index: PhysicalIndex, text: str | None = None, k: int = 10,
     best-effort contract of Solr's partial results. A query that
     completes within budget returns the normal exact answer and
     ``partial=False``."""
-    return _blockmax(index, text, k, skip, filters, round_score, True,
+    return _blockmax(index, text, k, skip, filters, round_score, None,
                      synonyms, time_allowed_ms=time_allowed_ms)
 
 
 def _blockmax(index: PhysicalIndex, text: str | None, k: int, skip: int,
-              filters, round_score: int | None, prune: bool, synonyms,
+              filters, round_score: int | None, prune: bool | None, synonyms,
               time_allowed_ms: float | None) -> tuple[DataFrame, bool]:
     import time as _time
 
@@ -394,8 +399,9 @@ def _blockmax(index: PhysicalIndex, text: str | None, k: int, skip: int,
     tombs = index.tombstones
 
     p = max(4 * (k + skip), 32)
-    if not prune or (index.n_buckets
-                     and index.n_buckets <= p * _PRUNE_MIN_BUCKET_FACTOR):
+    if prune is False or (prune is None and index.n_buckets
+                          and index.n_buckets <= p * _PRUNE_MIN_BUCKET_FACTOR):
+        # (prune=None = auto; an explicit True/False pins the plan.)
         # pruning needs MORE buckets than the hot-set size P to ever drop
         # one, and enough headroom beyond P to pay for its extra jobs:
         # the pruned plan runs an UB job + a persist + two scoring phases

@@ -10,7 +10,9 @@ same BM25 formula (operators/query.py), same tie-break.
 
 from __future__ import annotations
 
-from ..functions.tokenizer import LUCENE_STOPWORDS, stopword_not_in_sql, tokenize_duckdb_sql
+from ..functions.tokenizer import (LUCENE_STOPWORDS, stopword_not_in_sql,
+                                   tokenize_catenate_duckdb_sql,
+                                   tokenize_duckdb_sql)
 
 K1, B = 1.2, 0.75
 
@@ -64,13 +66,17 @@ dft AS (SELECT term, count(*) AS df FROM tf GROUP BY 1)
 
 def prefix_sql(ingest_where: str = "TRUE",
                stopwords: tuple[str, ...] = LUCENE_STOPWORDS,
-               source_table: str = "documents", pre_cte: str = "") -> str:
+               source_table: str = "documents", pre_cte: str = "",
+               catenate: bool = False) -> str:
     """``pre_cte`` (e.g. "documents_mod AS (...), ") + ``source_table``
     let a maintenance oracle recompute over a MODIFIED corpus — the
-    fresh-build twin of an incremental physical update."""
+    fresh-build twin of an incremental physical update. ``catenate``
+    swaps in the catenateWords analyzer chain (IndexConfig.catenate_words)."""
+    tok = (tokenize_catenate_duckdb_sql if catenate
+           else tokenize_duckdb_sql)("content || ' ' || path")
     return _PREFIX_TMPL.format(
         ingest_where=ingest_where,
-        tok_expr=tokenize_duckdb_sql("content || ' ' || path"),
+        tok_expr=tok,
         stop_where=stopword_not_in_sql(stopwords) if stopwords else "term <> ''",
         source_table=source_table,
         pre_cte=pre_cte,
@@ -112,9 +118,10 @@ def _filters_where(filters, alias: str = "docl") -> str:
 
 def bm25_topk_sql(terms: list[str], k: int = 10, skip: int = 0,
                   filters=None, ingest_where: str = "TRUE",
-                  stopwords: tuple[str, ...] = LUCENE_STOPWORDS) -> str:
+                  stopwords: tuple[str, ...] = LUCENE_STOPWORDS,
+                  catenate: bool = False) -> str:
     """Top-k page: (doc_id, repo, path, lang, score) — engine column order."""
-    return f"""{prefix_sql(ingest_where, stopwords)},
+    return f"""{prefix_sql(ingest_where, stopwords, catenate=catenate)},
 q(term) AS (VALUES {_values(terms)}),
 sc AS (
   SELECT tf.repo, tf.path,

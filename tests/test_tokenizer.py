@@ -9,8 +9,11 @@ import pytest
 from easy_solr4files_index_spark.functions.tokenizer import (
     LUCENE_STOPWORDS,
     make_tokenize_udf,
+    tokenize_catenate_duckdb_sql,
     tokenize_expr,
+    tokenize_expr_catenate,
     tokenize_py,
+    tokenize_py_catenate,
 )
 
 GOLDENS = [
@@ -65,3 +68,58 @@ def test_catenation_mode(spark):
     # parts, then catenated multi-part identifiers (WDGF catenateWords=1)
     assert got == ["get", "http", "response", "uri", "path", "plain",
                    "gethttpresponse", "uripath"]
+
+
+# catenate-chain goldens: base split tokens, then the delimiter-deleted
+# catenated form of every multi-part word (WDGF catenateWords=1,
+# schema.xml:592) — all four implementations must agree on these
+CAT_GOLDENS = [
+    ("getHTTPResponse uri_path plain",
+     ["get", "http", "response", "uri", "path", "plain",
+      "gethttpresponse", "uripath"]),
+    # path word: parts + catenation of the whole path
+    ("docs/00000007.txt", ["docs", "00000007", "txt", "docs00000007txt"]),
+    # stopwords filtered from BOTH the base and catenated streams; a
+    # catenation that lands ON a stopword ("a-n" -> "an") is dropped
+    ("the a-n fox", ["n", "fox"]),
+    # single-part words emit no catenation
+    ("plain words only", ["plain", "words", "only"]),
+    ("", []),
+]
+
+
+@pytest.mark.parametrize("raw,expected", CAT_GOLDENS)
+def test_py_catenate_goldens(raw, expected):
+    assert tokenize_py_catenate(raw) == expected
+
+
+def test_expr_catenate_matches_python(spark):
+    raws = [g[0] for g in GOLDENS] + [g[0] for g in CAT_GOLDENS] + [None]
+    df = spark.createDataFrame([(r,) for r in raws], "raw string")
+    got = df.select(tokenize_expr_catenate("raw").alias("t")).collect()
+    for row, raw in zip(got, raws):
+        assert row["t"] == tokenize_py_catenate(raw), raw
+
+
+def test_arrow_catenate_matches_python(spark):
+    raws = [g[0] for g in GOLDENS] + [g[0] for g in CAT_GOLDENS] + [None]
+    df = spark.createDataFrame([(r,) for r in raws], "raw string")
+    tok = make_tokenize_udf(LUCENE_STOPWORDS, catenate=True)
+    got = df.select(tok("raw").alias("t")).collect()
+    for row, raw in zip(got, raws):
+        assert row["t"] == tokenize_py_catenate(raw), raw
+
+
+def test_duckdb_catenate_matches_python():
+    import duckdb
+    con = duckdb.connect()
+    stop = ", ".join(f"'{w}'" for w in LUCENE_STOPWORDS)
+    expr = tokenize_catenate_duckdb_sql("raw")
+    raws = [g[0] for g in GOLDENS] + [g[0] for g in CAT_GOLDENS] + [None]
+    for raw in raws:
+        # the twin leaves stop/empty filtering downstream, same as the
+        # oracle's stop_where — apply it here to compare full chains
+        got = con.execute(
+            f"SELECT list_filter({expr}, t -> t <> '' AND t NOT IN ({stop})) "
+            "FROM (SELECT ? AS raw)", [raw]).fetchone()[0]
+        assert got == tokenize_py_catenate(raw), raw

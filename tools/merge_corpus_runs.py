@@ -26,8 +26,12 @@ def _merge_cell(n: int, a: dict, b: dict) -> dict:
                                + b.get("build_sec_trials", [b["build_sec"]]))
     out["build_sec"] = min(a["build_sec"], b["build_sec"])
     out["files_per_sec"] = round(n / out["build_sec"], 1)
-    out["queries"] = {q: round(min(a["queries"][q], b["queries"][q]), 3)
-                      for q in a["queries"]}
+    # query sets may drift between rounds (s6_phrase added in r4):
+    # min where both runs measured a query, passthrough where only one did
+    out["queries"] = {
+        q: round(min(t for t in (a["queries"].get(q), b["queries"].get(q))
+                     if t is not None), 3)
+        for q in {**a["queries"], **b["queries"]}}
     out["query_worst_sec"] = max(out["queries"].values())
     if a.get("index_bytes") != b.get("index_bytes"):
         print(f"WARNING: index_bytes disagree at n={n}: "

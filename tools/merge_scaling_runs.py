@@ -30,8 +30,12 @@ def _merge_level(a: dict, b: dict) -> dict:
     out = dict(best)
     out["build_sec_trials"] = (a.get("build_sec_trials", [a["build_sec"]])
                                + b.get("build_sec_trials", [b["build_sec"]]))
-    out["queries"] = {q: round(min(a["queries"][q], b["queries"][q]), 3)
-                      for q in a["queries"]}
+    # query sets may drift between rounds (e.g. s6_phrase added in r4):
+    # min where both runs measured a query, passthrough where only one did
+    out["queries"] = {
+        q: round(min(t for t in (a["queries"].get(q), b["queries"].get(q))
+                     if t is not None), 3)
+        for q in {**a["queries"], **b["queries"]}}
     out["query_p95_sec"] = round(min(a["query_p95_sec"], b["query_p95_sec"]), 3)
     return out
 
@@ -42,18 +46,27 @@ def _merge_ceiling(a: dict, b: dict, n_low: int, n_high: int) -> dict:
     out = {}
     for key, eff_key, spd in (("raw_tp", "raw_efficiency", "raw_speedup"),
                               ("bw_tp", "bw_efficiency", None)):
+        # older-format runs (rounds 1-2) carry no bw_tp leg: the ceiling
+        # then degrades to the spinner leg alone instead of a KeyError
+        if key not in a or key not in b:
+            continue
         tl = max(a[key][lo], b[key][lo])
         th = max(a[key][hi], b[key][hi])
         out[key] = {lo: round(tl, 2), hi: round(th, 2)}
         out[eff_key] = round(th / (tl * ratio), 3)
         if spd:
             out[spd] = round(th / tl, 3)
-    out["ceiling"] = min(out["raw_efficiency"], out["bw_efficiency"])
+    effs = [out[k] for k in ("raw_efficiency", "bw_efficiency") if k in out]
+    out["ceiling"] = min(effs) if effs else None
     return out
 
 
 def _merge_pair(a: dict, b: dict) -> dict:
     n_low, n_high = a["n_low"], a["n_high"]
+    if (b["n_low"], b["n_high"]) != (n_low, n_high):
+        raise SystemExit(
+            f"cannot merge pair {n_low}->{n_high} with {b['n_low']}->"
+            f"{b['n_high']}: runs under one label must share core levels")
     lo, hi = str(n_low), str(n_high)
     results = {lvl: _merge_level(a["results"][lvl], b["results"][lvl])
                for lvl in (lo, hi)}
