@@ -114,7 +114,7 @@ def run_scale_worker(corpus_path: str, cpus: int) -> dict:
     index_dir = tempfile.mkdtemp(prefix="fts_scale_idx_")
     try:
         t0 = time.perf_counter()
-        write_index(spark, docs, index_dir, lineage_groups=1)
+        report = write_index(spark, docs, index_dir, lineage_groups=1)
         build_s = time.perf_counter() - t0
 
         idx = open_index(spark, index_dir)
@@ -133,6 +133,7 @@ def run_scale_worker(corpus_path: str, cpus: int) -> dict:
         return {
             "cpus": cpus, "n_files": n_files,
             "build_sec": round(build_s, 2),
+            "build_stage_sec": report.stage_sec,
             "files_per_sec": round(n_files / build_s, 1),
             "queries": per_query, "query_p95_sec": round(p95, 3),
         }
@@ -284,11 +285,24 @@ def run_scaling_pair(n_low: int, n_high: int) -> dict:
         merged["queries"] = {q: min(r["queries"][q] for r in runs)
                              for q in best["queries"]}
         merged["query_p95_sec"] = min(r["query_p95_sec"] for r in runs)
+        # per-stage minima across trials: each stage at its least-
+        # contended observation (sum of stage mins <= best build_sec) —
+        # the stage-level analog of the per-leg min discipline
+        merged["build_stage_sec_min"] = {
+            s: min(r["build_stage_sec"][s] for r in runs
+                   if s in r.get("build_stage_sec", {}))
+            for s in best.get("build_stage_sec", {})}
         results[cpus] = merged
 
     tp_low = results[n_low]["files_per_sec"]
     tp_high = results[n_high]["files_per_sec"]
     build_eff = tp_high / (tp_low * (n_high / n_low))
+    # stage-level efficiency: which build stage eats the N->4N gap
+    _ratio = n_high / n_low
+    _slo = results[n_low].get("build_stage_sec_min", {})
+    _shi = results[n_high].get("build_stage_sec_min", {})
+    stage_eff = {s: round(_slo[s] / (_ratio * _shi[s]), 3)
+                 for s in _slo if _shi.get(s, 0) > 0}
     q_low = results[n_low]["query_p95_sec"]
     q_high = results[n_high]["query_p95_sec"]
     calib = _cpu_calibration(n_low, n_high)
@@ -306,6 +320,7 @@ def run_scaling_pair(n_low: int, n_high: int) -> dict:
         "build_files_per_sec": {str(n_low): tp_low, str(n_high): tp_high},
         "build_speedup": round(tp_high / tp_low, 3),
         "build_scaling_efficiency": round(build_eff, 3),
+        "build_stage_efficiency": stage_eff,
         "hw_ceiling": calib,
         # normalize to the BINDING host ceiling: min(compute, bandwidth) —
         # an index build is data movement, so the bandwidth leg usually binds
@@ -404,6 +419,22 @@ def write_scaling_report(s: dict, path: str = "BENCH/BASELINE.md") -> None:
     sections = []
     for label, p in pairs.items():
         lo, hi = str(p["n_low"]), str(p["n_high"])
+        stage_tbl = ""
+        res_lo = p["results"].get(p["n_low"]) or p["results"].get(lo) or {}
+        res_hi = p["results"].get(p["n_high"]) or p["results"].get(hi) or {}
+        slo = res_lo.get("build_stage_sec_min") or {}
+        shi = res_hi.get("build_stage_sec_min") or {}
+        seff = p.get("build_stage_efficiency") or {}
+        if slo and shi:
+            rows = "\n".join(
+                f"| {s} | {slo.get(s, '—')} | {shi.get(s, '—')} | "
+                f"{seff.get(s, '—')} |" for s in slo)
+            stage_tbl = (
+                "\nPer-stage breakdown (per-stage MIN across trials — each "
+                "stage at its least-contended observation; efficiency = "
+                f"t(N)/({p['n_high'] // p['n_low']}·t(4N))):\n\n"
+                f"| build stage | local[{lo}] (s) | local[{hi}] (s) | "
+                "scaling efficiency |\n|---|---|---|---|\n" + rows + "\n")
         sections.append(f"""## Pair {label} (N={lo}, 4N={hi})
 
 Status: {_pair_verdict(p)}
@@ -424,7 +455,7 @@ Status: {_pair_verdict(p)}
   the binding host limit; register-bound spinners cannot see it
 * build efficiency normalized to the binding ceiling
   (min of the two): **{p['build_efficiency_vs_hw']}**
-""")
+{stage_tbl}""")
     body = "\n".join(sections)
     with open(path, "w") as fh:
         fh.write(f"""# BENCH baseline — measured (two-parallelism scaling evidence)

@@ -66,6 +66,9 @@ def cmd_build(args: argparse.Namespace) -> int:
         "stages_run": report.stages_run, "stages_skipped": report.stages_skipped,
         "build_sec": round(dt, 2),
         "files_per_sec": round(report.n_docs / dt, 1) if dt > 0 else None,
+        # E2 feedback summary (reference package.scala:110-118): docs
+        # indexed metadata-only because content contributed no text
+        "degraded_docs": report.degraded_docs,
     }))
     return 0
 

@@ -121,6 +121,15 @@ def enrich_docs(docs_with_ids: DataFrame, config: IndexConfig) -> DataFrame:
         *core, *extras,
         F.sha2(F.col("content"), 256).alias("sha256"),
         tok.alias("tokens"),
+        # E2 graceful degradation (reference Solr.scala:65-68,
+        # package.scala:110-118: extraction failure -> metadata-only doc
+        # + a counted feedback line): a doc whose CONTENT contributes no
+        # searchable text (null/whitespace-only — the post-extraction
+        # shape of a broken file) still indexes its metadata and path
+        # tokens, and is flagged here so the build can COUNT it
+        # (degraded_docs in BuildReport/globals.json) and users can
+        # filter on it like any metadata column.
+        (F.coalesce(F.trim(F.col("content")), F.lit("")) == "").alias("meta_only"),
     ).withColumn("dl", F.size("tokens").cast("long"))
 
 

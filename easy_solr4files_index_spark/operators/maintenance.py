@@ -334,10 +334,12 @@ def append_docs_physical(spark: SparkSession, index_dir: str,
         from pyspark.sql import Observation
         obs = Observation()
         (enriched.observe(obs, F.count(F.lit(1)).alias("n"),
-                          F.sum("dl").alias("dls"))
+                          F.sum("dl").alias("dls"),
+                          F.sum(F.col("meta_only").cast("long")).alias("deg"))
          .write.mode("append").parquet(idx.path_of("docs_store")))
         n_new = int(obs.get["n"] or 0)
         dl_new = int(obs.get["dls"] or 0)
+        deg_new = int(obs.get["deg"] or 0)
         if n_new == 0:
             return idx
         n2 = int(meta["n_docs"]) + n_new
@@ -410,6 +412,11 @@ def append_docs_physical(spark: SparkSession, index_dir: str,
     # the pruning upper bound for old blocks)
     prev_min = meta.get("min_encode_avgdl", float(meta.get("avgdl", 0.0)))
     meta["n_docs"], meta["dl_sum"], meta["avgdl"] = n2, dl_sum2, avgdl2
+    # E2 feedback counter: the appended segment's metadata-only docs add
+    # to the build-time count (deletes don't decrement it — like the
+    # reference's per-ingest feedback summary it counts degradation
+    # EVENTS, not live docs)
+    meta["degraded_docs"] = int(meta.get("degraded_docs", 0)) + deg_new
     meta["min_encode_avgdl"] = min(prev_min, avgdl2) if avgdl2 else prev_min
     meta["next_base"] = ((seg_end + cfg.bucket_span - 1)
                          // cfg.bucket_span) * cfg.bucket_span
@@ -431,12 +438,199 @@ def upsert_repos_physical(spark: SparkSession, index_dir: str,
     EasySolr4filesIndexApp.scala:48-51): every repo present in new_docs
     fully replaces its docs; cost ∝ the touched repos, not the corpus.
     One delete pass covers ALL the repos (single pruned scan + one df
-    delta job), not one pass per repo."""
+    delta job), not one pass per repo.
+
+    Small-bag latency: a tiny upsert is bound by FIXED per-job round
+    trips, not data (measured ~7 s for a 250-file bag at sf0.1 while the
+    200k-doc ratio is 0.27 — BENCH/MAINTENANCE.md). The delete's jobs
+    (pruned ranges scan + df-delta) touch only EXISTING files and the
+    append's segment jobs (docID assign + docs_store write) touch only
+    NEW ones, so the two pipelines run CONCURRENTLY here (the same
+    `_run_parallel` overlap the append's three segment writes already
+    use); the new-segment ids land beyond every registered segment, so
+    the delete's islands join (`_pred_ranges` bounds docs to [s0, s1))
+    excludes them even if the scan lists freshly-appended files. The
+    exact-stats ordering is preserved: the postings encoder's avgdl is
+    computed AFTER both pipelines finish, from (dl_sum − deleted +
+    appended) — identical to the serial delete-then-append value — and
+    globals.json commits ONCE with both mutations (the serial flow's
+    mid-flight commit windows don't get worse, they collapse into one)."""
+    t0 = time.time()
+    idx = open_index(spark, index_dir)
+    cfg = idx.config
+    meta = _read_globals(index_dir)
     repos = sorted(r["repo"] for r in new_docs.select("repo").distinct().collect())
-    if repos:
-        delete_where_physical(spark, index_dir, F.col("repo").isin(repos),
-                              ",".join(repos), auto_compact=auto_compact)
-    return append_docs_physical(spark, index_dir, new_docs)
+    label = ",".join(repos)
+
+    base = _segments(meta)[-1][1]
+    base = ((base + cfg.bucket_span - 1) // cfg.bucket_span) * cfg.bucket_span
+    base = max(base, int(meta.get("next_base", base)))
+
+    del_out: dict = {}
+    app_out: dict = {}
+
+    def _delete_phase() -> None:
+        if not repos:
+            return
+        ranges = _pred_ranges(idx, meta, F.col("repo").isin(repos), label)
+        if not ranges:
+            return
+        span = cfg.bucket_span
+        bcond = F.lit(False)
+        for r in ranges:
+            bcond = bcond | ((F.col("bucket") >= r["lo"] // span) &
+                             (F.col("bucket") <= r["hi"] // span))
+        delta = (idx.postings.filter(bcond)
+                 .select("term", "tbucket", "n", "doc_ids")
+                 .mapInPandas(_df_delta_kernel(
+                     [(r["lo"], r["hi"]) for r in ranges], -1),
+                     "term string, tbucket int, df long"))
+        (delta.groupBy("term", "tbucket").agg(F.sum("df").alias("df"))
+         .write.mode("append").partitionBy("tbucket")
+         .parquet(idx.path_of("_termstats_delta")))
+        _append_tombstones(index_dir, idx.generation,
+                           [(r["lo"], r["hi"]) for r in ranges], label)
+        del_out["ranges"] = [(r["lo"], r["hi"]) for r in ranges]
+        del_out["n_del"] = sum(r["n"] for r in ranges)
+        del_out["dl_del"] = sum(r["dls"] for r in ranges)
+
+    def _append_store_phase() -> DataFrame | None:
+        """DocID-assign + density check + docs_store segment write — the
+        part of the append with no dependency on the delete's deltas."""
+        with_ids = assign_doc_ids(new_docs).withColumn(
+            "doc_id", (F.col("doc_id") + base).cast("long"))
+        enriched = enrich_docs(with_ids, cfg).persist()
+        store_cols = set(spark.read.parquet(idx.path_of("docs_store")).columns)
+        seg_cols = set(enriched.columns)
+        if seg_cols != store_cols:
+            enriched.unpersist()
+            raise ValueError(
+                "appended batch schema does not match the existing docs_store: "
+                f"missing={sorted(store_cols - seg_cols)}, "
+                f"extra={sorted(seg_cols - store_cols)}")
+        from .postings import check_dense_ids
+        try:
+            check_dense_ids(enriched, offset=base, label="append segment")
+        except Exception:
+            enriched.unpersist()
+            raise
+        from pyspark.sql import Observation
+        obs = Observation()
+        (enriched.observe(obs, F.count(F.lit(1)).alias("n"),
+                          F.sum("dl").alias("dls"),
+                          F.sum(F.col("meta_only").cast("long")).alias("deg"))
+         .write.mode("append").parquet(idx.path_of("docs_store")))
+        app_out["n_new"] = int(obs.get["n"] or 0)
+        app_out["dl_new"] = int(obs.get["dls"] or 0)
+        app_out["deg_new"] = int(obs.get["deg"] or 0)
+        return enriched
+
+    enriched: DataFrame | None = None
+
+    def _append_runner() -> None:
+        nonlocal enriched
+        enriched = _append_store_phase()
+
+    _run_parallel([_delete_phase, _append_runner])
+
+    n_del = del_out.get("n_del", 0)
+    dl_del = del_out.get("dl_del", 0)
+    n_new = app_out.get("n_new", 0)
+    dl_new = app_out.get("dl_new", 0)
+
+    pre_avgdl = float(meta.get("avgdl", 0.0))
+    dl_sum0 = int(meta.get("dl_sum", round(pre_avgdl * int(meta["n_docs"]))))
+    n2 = int(meta["n_docs"]) - n_del + n_new
+    dl_sum2 = dl_sum0 - int(dl_del) + dl_new
+    avgdl2 = dl_sum2 / n2 if n2 else 0.0
+
+    tf = None
+    try:
+        if n_new and enriched is not None:
+            # encode with the POST-upsert avgdl (exact scoring stats, same
+            # value the serial delete-then-append flow produced)
+            if meta.get("index_positions"):
+                from .postings import positions_rows
+                tf = positions_rows(enriched, cfg.term_buckets).persist()
+            else:
+                tf = (enriched.select("doc_id", "dl",
+                                      F.explode("tokens").alias("term"))
+                      .groupBy("term", "doc_id", "dl")
+                      .agg(F.count("*").alias("tf")).persist())
+            tfb = (tf.select("term", "doc_id", "dl", "tf")
+                   .withColumn("bucket",
+                               (F.col("doc_id") / cfg.bucket_span).cast("long"))
+                   .withColumn("tbucket",
+                               _tbucket(F.col("term"), cfg.term_buckets)))
+            part = tfb.groupBy("tbucket", "bucket").applyInPandas(
+                _make_encoder(cfg.k1, cfg.b, avgdl2), POSTINGS_SCHEMA)
+
+            def _write_postings() -> None:
+                (part.repartition(cfg.term_buckets, F.col("tbucket"))
+                 .write.mode("append").partitionBy("tbucket")
+                 .parquet(idx.path_of("postings")))
+
+            def _write_termstats_delta() -> None:
+                (tf.groupBy("term").agg(F.count("*").alias("df"))
+                 .withColumn("tbucket", _tbucket(F.col("term"), cfg.term_buckets))
+                 .write.mode("append").partitionBy("tbucket")
+                 .parquet(idx.path_of("_termstats_delta")))
+
+            def _write_positions() -> None:
+                pos = (tf.select("term", "doc_id", "dl", "tf", "positions")
+                       .withColumn("tbucket",
+                                   _tbucket(F.col("term"), cfg.term_buckets)))
+                (pos.repartition(cfg.term_buckets, F.col("tbucket"))
+                 .write.mode("append").partitionBy("tbucket")
+                 .parquet(idx.path_of("positions")))
+
+            writers = [_write_postings, _write_termstats_delta]
+            if meta.get("index_positions"):
+                writers.append(_write_positions)
+            _run_parallel(writers)
+    finally:
+        if tf is not None:
+            tf.unpersist()
+        if enriched is not None:
+            enriched.unpersist()
+
+    if not n_new and not del_out:
+        return idx
+
+    # single commit for both mutations
+    prev_min = meta.get("min_encode_avgdl", pre_avgdl or 0.0)
+    meta["min_encode_avgdl"] = min(prev_min, avgdl2) if avgdl2 else prev_min
+    meta["n_docs"], meta["dl_sum"], meta["avgdl"] = n2, dl_sum2, avgdl2
+    segs = _segments(meta)
+    if n_new:
+        seg_end = base + n_new
+        meta["segments"] = segs + [[base, seg_end]]
+        meta["degraded_docs"] = (int(meta.get("degraded_docs", 0))
+                                 + app_out.get("deg_new", 0))
+        meta["next_base"] = ((seg_end + cfg.bucket_span - 1)
+                             // cfg.bucket_span) * cfg.bucket_span
+    else:
+        meta.setdefault("segments", segs)
+    _write_globals(index_dir, meta)
+    if del_out:
+        _append_lineage(spark, index_dir, f"delete:{label}", 0,
+                        meta.get("fingerprint", ""), "done", t0)
+    if n_new:
+        _append_lineage(spark, index_dir, "append", 0,
+                        meta.get("fingerprint", ""), "done", t0)
+
+    tombs = merge_ranges(list(idx.tombstones) + del_out.get("ranges", []))
+    out = PhysicalIndex(spark, index_dir, cfg, n2, avgdl2,
+                        min_encode_avgdl=meta["min_encode_avgdl"],
+                        tombstones=tombs,
+                        n_buckets=int(meta.get("next_base",
+                                               base)) // cfg.bucket_span,
+                        generation=idx.generation,
+                        has_positions=idx.has_positions,
+                        degraded_docs=int(meta.get("degraded_docs", 0)))
+    if auto_compact and del_out and _should_compact(out):
+        return compact_index(spark, index_dir)
+    return out
 
 
 def compact_index(spark: SparkSession, index_dir: str) -> PhysicalIndex:

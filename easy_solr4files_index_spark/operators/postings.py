@@ -49,7 +49,7 @@ from __future__ import annotations
 import json
 import os
 import time
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 
 import numpy as np
 import pandas as pd
@@ -332,6 +332,14 @@ class BuildReport:
     avgdl: float
     stages_run: list[str]
     stages_skipped: list[str]
+    # E2: docs indexed metadata-only because their content contributed no
+    # searchable text (the reference's per-file extraction fallback count,
+    # package.scala:110-118)
+    degraded_docs: int = 0
+    # wall-clock per build stage (docids/fingerprint/docs_store/positions/
+    # postings/termstats) — the scaling harness attributes the N-vs-4N
+    # efficiency gap stage-by-stage from these
+    stage_sec: dict = field(default_factory=dict)
 
 
 def write_index(spark: SparkSession, docs: DataFrame, index_dir: str,
@@ -343,10 +351,15 @@ def write_index(spark: SparkSession, docs: DataFrame, index_dir: str,
 
     _t_start = time.perf_counter()
     _verbose = os.environ.get("SPARK_FTS_TIMINGS")
+    _marks: list[tuple[str, float]] = []
 
     def _mark(label: str) -> None:
+        # cumulative marks; collapsed to per-stage deltas on the report
+        # (BuildReport.stage_sec) so the scaling harness can attribute
+        # the N-vs-4N gap stage-by-stage instead of arguing from totals
+        _marks.append((label, time.perf_counter() - _t_start))
         if _verbose:
-            print(f"[write_index] {label:24s} +{time.perf_counter() - _t_start:7.2f}s",
+            print(f"[write_index] {label:24s} +{_marks[-1][1]:7.2f}s",
                   file=sys.stderr, flush=True)
 
     config = config or IndexConfig()
@@ -390,6 +403,7 @@ def write_index(spark: SparkSession, docs: DataFrame, index_dir: str,
         observed = docs_store.observe(
             obs, F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl"),
             F.sum("dl").alias("dl_sum"),
+            F.sum(F.col("meta_only").cast("long")).alias("degraded"),
             F.expr("bit_xor(xxhash64(repo, path, commit))").alias("h"),
             F.sum(F.col("doc_id") % _DENSITY_MOD).alias("id_summod"),
             F.expr("bit_xor(doc_id)").alias("id_xor"),
@@ -398,6 +412,7 @@ def write_index(spark: SparkSession, docs: DataFrame, index_dir: str,
         stats = obs.get
         n_docs, avgdl = stats["n"] or 0, float(stats["avgdl"] or 0.0)
         dl_sum = int(stats["dl_sum"] or 0)
+        degraded = int(stats["degraded"] or 0)
         # docID-density tripwire (rides the write job — zero extra scans):
         # ids must be exactly the dense series 0..n-1, checked via the
         # overflow-free closed forms (see _dense_expected — the exact sum
@@ -424,11 +439,17 @@ def write_index(spark: SparkSession, docs: DataFrame, index_dir: str,
     _mark("docs_store written")
 
     if n_docs is None:
-        g = spark.read.parquet(os.path.join(index_dir, "docs_store")).agg(
+        ds = spark.read.parquet(os.path.join(index_dir, "docs_store"))
+        # resuming a build whose docs_store predates the meta_only column
+        deg_expr = (F.sum(F.col("meta_only").cast("long"))
+                    if "meta_only" in ds.columns else F.lit(0))
+        g = ds.agg(
             F.count("*").alias("n"), F.avg("dl").alias("avgdl"),
-            F.sum("dl").alias("dl_sum")).collect()[0]
+            F.sum("dl").alias("dl_sum"),
+            deg_expr.alias("degraded")).collect()[0]
         n_docs, avgdl = g["n"] or 0, float(g["avgdl"] or 0.0)
         dl_sum = int(g["dl_sum"] or 0)
+        degraded = int(g["degraded"] or 0)
 
     # Every pass below re-reads the token stream from the just-written
     # docs_store parquet, column-pruned to (doc_id, dl, tokens) — see the
@@ -569,6 +590,9 @@ def write_index(spark: SparkSession, docs: DataFrame, index_dir: str,
             # side UB inflation keeps pruning safe after avgdl drifts), and
             # the next doc_id segment base for appends
             "min_encode_avgdl": avgdl,
+            # E2 feedback summary: docs indexed metadata-only because
+            # content contributed no searchable text (package.scala:110-118)
+            "degraded_docs": degraded,
             "next_base": ((n_docs + config.bucket_span - 1)
                           // config.bucket_span) * config.bucket_span}
     # globals.json is the commit point (Solr-commit analog, S11): it is
@@ -578,7 +602,18 @@ def write_index(spark: SparkSession, docs: DataFrame, index_dir: str,
     with open(tmp, "w") as fh:
         json.dump(meta, fh)
     os.replace(tmp, os.path.join(index_dir, "globals.json"))
-    return BuildReport(index_dir, fingerprint, n_docs, avgdl, run, skipped)
+    # collapse cumulative marks into named per-stage deltas ("postings
+    # write g0" + "postings group 0" fold into one "postings" bucket)
+    stage_sec: dict[str, float] = {}
+    prev = 0.0
+    for label, cum in _marks:
+        word = label.split()[0]
+        name = {"doc_ids": "docids",
+                "fingerprint/resume-chk": "fingerprint"}.get(word, word)
+        stage_sec[name] = round(stage_sec.get(name, 0.0) + (cum - prev), 3)
+        prev = cum
+    return BuildReport(index_dir, fingerprint, n_docs, avgdl, run, skipped,
+                       degraded_docs=degraded, stage_sec=stage_sec)
 
 
 # -------------------------------------------------------------------- load
@@ -598,6 +633,7 @@ class PhysicalIndex:
     tombstones: tuple[tuple[int, int], ...] = ()
     n_buckets: int = 0  # upper bound on distinct doc-range bucket ids
     generation: int = 0  # compact_index swap counter (see gen_name)
+    degraded_docs: int = 0  # E2: docs indexed metadata-only (build+append events)
     has_positions: bool = False  # positions/ dataset present (phrase queries)
 
     def __post_init__(self) -> None:
@@ -716,7 +752,8 @@ def open_index(spark: SparkSession, index_dir: str) -> PhysicalIndex:
                          tombstones=tombstones,
                          n_buckets=next_base // meta["bucket_span"],
                          generation=generation,
-                         has_positions=bool(meta.get("index_positions", False)))
+                         has_positions=bool(meta.get("index_positions", False)),
+                         degraded_docs=int(meta.get("degraded_docs", 0)))
 
 
 def merge_ranges(ranges) -> tuple[tuple[int, int], ...]:

@@ -289,3 +289,47 @@ def test_search_budgeted_small_index_completes(built):
                                     round_score=None)
     assert partial is False
     assert len(page.collect()) == 5
+
+
+def test_degraded_docs_counted_and_metadata_only(spark, tmp_path):
+    """E2 graceful degradation (reference Solr.scala:65-68,
+    package.scala:110-118): a doc whose content contributes no text
+    (null / whitespace-only — the post-extraction shape of a broken
+    file) still indexes its metadata + path tokens AND is counted in
+    the build's feedback summary (BuildReport.degraded_docs,
+    globals.json, PhysicalIndex)."""
+    from pyspark.sql import functions as F
+
+    from easy_solr4files_index_spark.operators.maintenance import (
+        upsert_repos_physical)
+
+    docs = synth_code_docs(spark, n_docs=60, seed=5)
+    broken = spark.createDataFrame(
+        [("org0/broken", "bin/Corrupt0001.pdf", "c0", "text", None),
+         ("org0/broken", "bin/Corrupt0002.pdf", "c1", "text", "   ")],
+        "repo string, path string, commit string, lang string, content string")
+    index_dir = str(tmp_path / "idx")
+    report = write_index(spark, docs.unionByName(broken), index_dir,
+                         CFG, lineage_groups=1)
+    assert report.degraded_docs == 2
+
+    pidx = open_index(spark, index_dir)
+    assert pidx.degraded_docs == 2
+    # metadata-only: reachable by match-all + metadata filter and by its
+    # PATH tokens (copyField path -> text), invisible to content terms
+    rows = search_blockmax(pidx, None, k=10,
+                           filters={"repo": ["org0/broken"]}).collect()
+    assert {r["path"] for r in rows} == {"bin/Corrupt0001.pdf",
+                                         "bin/Corrupt0002.pdf"}
+    hits = search_blockmax(pidx, "corrupt0001", k=5).collect()
+    assert [r["path"] for r in hits] == ["bin/Corrupt0001.pdf"]
+    # the flag is an ordinary filterable docs_store column
+    assert pidx.docs_store.filter(F.col("meta_only")).count() == 2
+
+    # an appended segment's degradation events ACCUMULATE (per-ingest
+    # feedback, like the reference's summary — deletes don't decrement)
+    more = spark.createDataFrame(
+        [("org0/broken", "bin/Corrupt0003.pdf", "c2", "text", "")],
+        "repo string, path string, commit string, lang string, content string")
+    upsert_repos_physical(spark, index_dir, more, auto_compact=False)
+    assert open_index(spark, index_dir).degraded_docs == 3

@@ -37,6 +37,13 @@ def _merge_level(a: dict, b: dict) -> dict:
                      if t is not None), 3)
         for q in {**a["queries"], **b["queries"]}}
     out["query_p95_sec"] = round(min(a["query_p95_sec"], b["query_p95_sec"]), 3)
+    # per-stage minima (round-4 field): min where both runs carry the
+    # stage, passthrough where only one does (older runs have none)
+    sa, sb = a.get("build_stage_sec_min") or {}, b.get("build_stage_sec_min") or {}
+    if sa or sb:
+        out["build_stage_sec_min"] = {
+            s: round(min(t for t in (sa.get(s), sb.get(s)) if t is not None), 3)
+            for s in {**sa, **sb}}
     return out
 
 
@@ -75,11 +82,17 @@ def _merge_pair(a: dict, b: dict) -> dict:
     eff = tp_high / (tp_low * (n_high / n_low))
     calib = _merge_ceiling(a["hw_ceiling"], b["hw_ceiling"], n_low, n_high)
     norm = round(eff / calib["ceiling"], 3) if calib.get("ceiling") else None
+    ratio = n_high / n_low
+    slo = results[lo].get("build_stage_sec_min") or {}
+    shi = results[hi].get("build_stage_sec_min") or {}
+    stage_eff = {s: round(slo[s] / (ratio * shi[s]), 3)
+                 for s in slo if shi.get(s, 0) > 0}
     return {
         "n_low": n_low, "n_high": n_high,
         "build_files_per_sec": {lo: tp_low, hi: tp_high},
         "build_speedup": round(tp_high / tp_low, 3),
         "build_scaling_efficiency": round(eff, 3),
+        "build_stage_efficiency": stage_eff,
         "hw_ceiling": calib,
         "build_efficiency_vs_hw": norm,
         "calibration_window_consistent": norm is None or norm <= 1.0,
