@@ -60,6 +60,28 @@ KEY = ["repo", "path", "commit"]
 # driver holds only ~128*P keys at ANY corpus size (P buckets)
 _SAMPLE_PER_BUCKET = 128
 
+# inputs at or below this row count rank entirely on the driver (a few MB
+# of keys) and broadcast the literal mapping back — micro-batch appends
+# are fixed-latency-bound and the bucket/window/prefix-sum plan costs
+# more exchanges than the data is worth. Far below any executor-memory
+# concern and far above any real maintenance bag.
+_DRIVER_RANK_MAX = 65536
+
+
+def _join_back(docs: DataFrame, mapping: DataFrame) -> DataFrame:
+    """Null-SAFE 1:1 join of the (key -> doc_id) mapping onto the full
+    rows (keys are unique, module precondition): plain equi-join would
+    silently DROP rows with a null key component. Both sides may descend
+    from the same plan (self-join), so qualify through aliases."""
+    d, m = docs.alias("_docs"), mapping.alias("_map")
+    cond = None
+    for kcol in KEY:
+        c = F.col(f"_docs.{kcol}").eqNullSafe(F.col(f"_map.{kcol}"))
+        cond = c if cond is None else (cond & c)
+    return (d.join(m, cond)
+            .select(*[F.col(f"_docs.{c}") for c in docs.columns],
+                    F.col("_map.doc_id")))
+
 
 def _order_cols() -> list[F.Column]:
     """The engine's total key order (module header): all coalesced
@@ -180,6 +202,28 @@ def assign_doc_ids(docs: DataFrame, num_partitions: int | None = None) -> DataFr
 
     keys = docs.select(*KEY)
     n_total = keys.count()
+    if n_total <= _DRIVER_RANK_MAX:
+        # Small-input fast path (micro-batch appends/upserts, where fixed
+        # per-stage latency dominates): the keys fit trivially on the
+        # driver, so compute the EXACT ranks there in the same total
+        # order (_order_cols: coalesced components, then null-before-''
+        # among coalesce-ties) and broadcast-join the literal mapping
+        # back. Downstream plans shrink from
+        # bucket/window/prefix-sum/self-join to scan + one broadcast
+        # hash join — several fewer exchanges per consuming job, which
+        # is the whole cost of a 250-file bag. Determinism is free: the
+        # mapping is a driver-side literal.
+        rows = keys.collect()
+        order = sorted(range(n_total), key=lambda i: (
+            tuple(v if v is not None else "" for v in rows[i]),
+            # null sorts BEFORE '' among coalesce-ties (isNull().desc())
+            tuple(0 if v is None else 1 for v in rows[i])))
+        from pyspark.sql.types import LongType, StructField, StructType
+        schema = StructType(list(keys.schema.fields)
+                            + [StructField("doc_id", LongType(), False)])
+        mapping = spark.createDataFrame(
+            [(*rows[i], r) for r, i in enumerate(order)], schema=schema)
+        return _join_back(docs, F.broadcast(mapping))
     # deterministic sample: a key is sampled iff xxhash64(key) % S == 0 --
     # a property of the data, identical in every execution. S targets
     # ~_SAMPLE_PER_BUCKET keys per bucket on the driver. (S needs
@@ -224,17 +268,8 @@ def assign_doc_ids(docs: DataFrame, num_partitions: int | None = None) -> DataFr
         .select(*KEY, (F.col("_offset") + F.col("_rn") - 1)
                 .cast("long").alias("doc_id"))
     )
-    # keys are unique (module precondition, see header), so the join is
-    # 1:1. Null-SAFE equality: a plain equi-join would silently DROP any
-    # row with a null key component (null never equals null) — those rows
-    # rank deterministically, so they must survive the join-back too.
-    # Both sides descend from the same plan (self-join), so qualify
-    # columns through explicit aliases.
-    d, m = docs.alias("_docs"), mapping.alias("_map")
-    cond = None
-    for kcol in KEY:
-        c = F.col(f"_docs.{kcol}").eqNullSafe(F.col(f"_map.{kcol}"))
-        cond = c if cond is None else (cond & c)
-    return (d.join(m, cond)
-            .select(*[F.col(f"_docs.{c}") for c in docs.columns],
-                    F.col("_map.doc_id")))
+    # keys are unique (module precondition, see header), so the join-back
+    # is 1:1; at 10^12 rows the mapping side is far too large to
+    # broadcast — the shuffled equi-join IS the scalable shape, and AQE
+    # picks sort-merge vs shuffled-hash from the actual sizes.
+    return _join_back(docs, mapping)

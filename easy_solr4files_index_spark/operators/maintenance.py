@@ -450,17 +450,17 @@ def upsert_repos_physical(spark: SparkSession, index_dir: str,
     use); the new-segment ids land beyond every registered segment, so
     the delete's islands join (`_pred_ranges` bounds docs to [s0, s1))
     excludes them even if the scan lists freshly-appended files. The
-    exact-stats ordering is preserved: the postings encoder's avgdl is
-    computed AFTER both pipelines finish, from (dl_sum − deleted +
-    appended) — identical to the serial delete-then-append value — and
+    exact-stats ordering is preserved: only the delete's RANGES SCAN
+    (which yields dl_del) gates the encoder's avgdl; the delete's heavy
+    df-delta/tombstone writes don't feed avgdl and run in a second
+    parallel phase alongside the postings encode. avgdl is (dl_sum −
+    deleted + appended) — identical to the serial value — and
     globals.json commits ONCE with both mutations (the serial flow's
     mid-flight commit windows don't get worse, they collapse into one)."""
     t0 = time.time()
     idx = open_index(spark, index_dir)
     cfg = idx.config
     meta = _read_globals(index_dir)
-    repos = sorted(r["repo"] for r in new_docs.select("repo").distinct().collect())
-    label = ",".join(repos)
 
     base = _segments(meta)[-1][1]
     base = ((base + cfg.bucket_span - 1) // cfg.bucket_span) * cfg.bucket_span
@@ -469,34 +469,51 @@ def upsert_repos_physical(spark: SparkSession, index_dir: str,
     del_out: dict = {}
     app_out: dict = {}
 
-    def _delete_phase() -> None:
+    def _ranges_phase() -> None:
+        """Repo discovery + live-run islands scan — everything the exact
+        post-upsert stats (dl_del) need from the delete, WITHOUT the
+        df-delta/tombstone writes, which don't feed avgdl and therefore
+        run in the second parallel phase alongside the postings encode."""
+        repos = sorted(r["repo"] for r in
+                       new_docs.select("repo").distinct().collect())
+        del_out["repos"] = repos
+        del_out["label"] = ",".join(repos)
         if not repos:
             return
-        ranges = _pred_ranges(idx, meta, F.col("repo").isin(repos), label)
+        ranges = _pred_ranges(idx, meta, F.col("repo").isin(repos),
+                              del_out["label"])
         if not ranges:
             return
-        span = cfg.bucket_span
-        bcond = F.lit(False)
-        for r in ranges:
-            bcond = bcond | ((F.col("bucket") >= r["lo"] // span) &
-                             (F.col("bucket") <= r["hi"] // span))
-        delta = (idx.postings.filter(bcond)
-                 .select("term", "tbucket", "n", "doc_ids")
-                 .mapInPandas(_df_delta_kernel(
-                     [(r["lo"], r["hi"]) for r in ranges], -1),
-                     "term string, tbucket int, df long"))
-        (delta.groupBy("term", "tbucket").agg(F.sum("df").alias("df"))
-         .write.mode("append").partitionBy("tbucket")
-         .parquet(idx.path_of("_termstats_delta")))
-        _append_tombstones(index_dir, idx.generation,
-                           [(r["lo"], r["hi"]) for r in ranges], label)
         del_out["ranges"] = [(r["lo"], r["hi"]) for r in ranges]
         del_out["n_del"] = sum(r["n"] for r in ranges)
         del_out["dl_del"] = sum(r["dls"] for r in ranges)
 
+    def _delete_delta_df() -> DataFrame:
+        """The delete's df-delta plan over the pruned postings scan.
+        Reads only pre-upsert postings files (the concurrent postings
+        APPEND adds new-segment files whose ids are >= base, outside
+        every delete range — the kernel masks them to zero even if a
+        listing races them in). Returned as a PLAN: it is unioned with
+        the append's termstats delta into ONE _termstats_delta write —
+        two concurrent appends into the same directory would collide in
+        the committer's shared _temporary staging dir."""
+        ranges = del_out["ranges"]
+        span = cfg.bucket_span
+        bcond = F.lit(False)
+        for lo, hi in ranges:
+            bcond = bcond | ((F.col("bucket") >= lo // span) &
+                             (F.col("bucket") <= hi // span))
+        return (idx.postings.filter(bcond)
+                .select("term", "tbucket", "n", "doc_ids")
+                .mapInPandas(_df_delta_kernel(ranges, -1),
+                             "term string, tbucket int, df long")
+                .groupBy("term", "tbucket").agg(F.sum("df").alias("df")))
+
     def _append_store_phase() -> DataFrame | None:
-        """DocID-assign + density check + docs_store segment write — the
-        part of the append with no dependency on the delete's deltas."""
+        """DocID-assign + density check (segment stats ride it) — the
+        part of the append with no dependency on the delete's deltas.
+        The docs_store WRITE itself happens in the second parallel phase
+        (it only needs the persisted segment the check just populated)."""
         with_ids = assign_doc_ids(new_docs).withColumn(
             "doc_id", (F.col("doc_id") + base).cast("long"))
         enriched = enrich_docs(with_ids, cfg).persist()
@@ -510,19 +527,14 @@ def upsert_repos_physical(spark: SparkSession, index_dir: str,
                 f"extra={sorted(seg_cols - store_cols)}")
         from .postings import check_dense_ids
         try:
-            check_dense_ids(enriched, offset=base, label="append segment")
+            stats = check_dense_ids(enriched, offset=base,
+                                    label="append segment", with_stats=True)
         except Exception:
             enriched.unpersist()
             raise
-        from pyspark.sql import Observation
-        obs = Observation()
-        (enriched.observe(obs, F.count(F.lit(1)).alias("n"),
-                          F.sum("dl").alias("dls"),
-                          F.sum(F.col("meta_only").cast("long")).alias("deg"))
-         .write.mode("append").parquet(idx.path_of("docs_store")))
-        app_out["n_new"] = int(obs.get["n"] or 0)
-        app_out["dl_new"] = int(obs.get["dls"] or 0)
-        app_out["deg_new"] = int(obs.get["deg"] or 0)
+        app_out["n_new"] = stats["n"]
+        app_out["dl_new"] = stats["dl_sum"]
+        app_out["deg_new"] = stats["degraded"]
         return enriched
 
     enriched: DataFrame | None = None
@@ -531,7 +543,7 @@ def upsert_repos_physical(spark: SparkSession, index_dir: str,
         nonlocal enriched
         enriched = _append_store_phase()
 
-    _run_parallel([_delete_phase, _append_runner])
+    _run_parallel([_ranges_phase, _append_runner])
 
     n_del = del_out.get("n_del", 0)
     dl_del = del_out.get("dl_del", 0)
@@ -546,7 +558,20 @@ def upsert_repos_physical(spark: SparkSession, index_dir: str,
 
     tf = None
     try:
+        # second parallel phase: the delete's df-delta (no avgdl
+        # dependency) and the docs_store segment write (reads the cache
+        # the check populated) overlap the postings encode. Both
+        # termstats deltas (delete's negative + append's positive) merge
+        # into ONE write — same directory, one committer staging area.
+        writers = []
+        ts_delta = _delete_delta_df() if del_out.get("ranges") else None
         if n_new and enriched is not None:
+            _seg = enriched
+
+            def _write_docs_store() -> None:
+                _seg.write.mode("append").parquet(idx.path_of("docs_store"))
+
+            writers.append(_write_docs_store)
             # encode with the POST-upsert avgdl (exact scoring stats, same
             # value the serial delete-then-append flow produced)
             if meta.get("index_positions"):
@@ -570,12 +595,6 @@ def upsert_repos_physical(spark: SparkSession, index_dir: str,
                  .write.mode("append").partitionBy("tbucket")
                  .parquet(idx.path_of("postings")))
 
-            def _write_termstats_delta() -> None:
-                (tf.groupBy("term").agg(F.count("*").alias("df"))
-                 .withColumn("tbucket", _tbucket(F.col("term"), cfg.term_buckets))
-                 .write.mode("append").partitionBy("tbucket")
-                 .parquet(idx.path_of("_termstats_delta")))
-
             def _write_positions() -> None:
                 pos = (tf.select("term", "doc_id", "dl", "tf", "positions")
                        .withColumn("tbucket",
@@ -584,9 +603,26 @@ def upsert_repos_physical(spark: SparkSession, index_dir: str,
                  .write.mode("append").partitionBy("tbucket")
                  .parquet(idx.path_of("positions")))
 
-            writers = [_write_postings, _write_termstats_delta]
+            app_ts = (tf.groupBy("term").agg(F.count("*").alias("df"))
+                      .withColumn("tbucket",
+                                  _tbucket(F.col("term"), cfg.term_buckets)))
+            ts_delta = (app_ts if ts_delta is None
+                        else ts_delta.unionByName(app_ts))
+            writers.append(_write_postings)
             if meta.get("index_positions"):
                 writers.append(_write_positions)
+        if ts_delta is not None:
+            _ts = ts_delta
+
+            def _write_termstats_delta() -> None:
+                (_ts.write.mode("append").partitionBy("tbucket")
+                 .parquet(idx.path_of("_termstats_delta")))
+                if del_out.get("ranges"):
+                    _append_tombstones(index_dir, idx.generation,
+                                       del_out["ranges"], del_out["label"])
+
+            writers.append(_write_termstats_delta)
+        if writers:
             _run_parallel(writers)
     finally:
         if tf is not None:
@@ -594,7 +630,7 @@ def upsert_repos_physical(spark: SparkSession, index_dir: str,
         if enriched is not None:
             enriched.unpersist()
 
-    if not n_new and not del_out:
+    if not n_new and not del_out.get("ranges"):
         return idx
 
     # single commit for both mutations
@@ -612,8 +648,8 @@ def upsert_repos_physical(spark: SparkSession, index_dir: str,
     else:
         meta.setdefault("segments", segs)
     _write_globals(index_dir, meta)
-    if del_out:
-        _append_lineage(spark, index_dir, f"delete:{label}", 0,
+    if del_out.get("ranges"):
+        _append_lineage(spark, index_dir, f"delete:{del_out['label']}", 0,
                         meta.get("fingerprint", ""), "done", t0)
     if n_new:
         _append_lineage(spark, index_dir, "append", 0,
@@ -628,7 +664,7 @@ def upsert_repos_physical(spark: SparkSession, index_dir: str,
                         generation=idx.generation,
                         has_positions=idx.has_positions,
                         degraded_docs=int(meta.get("degraded_docs", 0)))
-    if auto_compact and del_out and _should_compact(out):
+    if auto_compact and del_out.get("ranges") and _should_compact(out):
         return compact_index(spark, index_dir)
     return out
 

@@ -169,7 +169,8 @@ def _dense_expected(n: int) -> tuple[int, int]:
     return summod, xor
 
 
-def check_dense_ids(df: DataFrame, offset: int = 0, label: str = "build") -> None:
+def check_dense_ids(df: DataFrame, offset: int = 0, label: str = "build",
+                    with_stats: bool = False) -> dict | None:
     """Assert df.doc_id is exactly the dense series offset..offset+n-1.
 
     Guards assign_doc_ids' two-pass determinism precondition: a
@@ -179,14 +180,24 @@ def check_dense_ids(df: DataFrame, offset: int = 0, label: str = "build") -> Non
     so this action doubles as cache population the write needs anyway);
     write_index's fresh-build twin rides the docs_store write as an
     Observation with the same aggregates."""
-    d = df.select((F.col("doc_id") - F.lit(int(offset))).cast("long").alias("d"))
-    row = d.agg(F.count(F.lit(1)).alias("n"), F.min("d").alias("mn"),
-                F.max("d").alias("mx"),
-                F.sum(F.col("d") % _DENSITY_MOD).alias("summod"),
-                F.expr("bit_xor(d)").alias("xr")).collect()[0]
+    cols = [(F.col("doc_id") - F.lit(int(offset))).cast("long").alias("d")]
+    aggs = [F.count(F.lit(1)).alias("n"), F.min("d").alias("mn"),
+            F.max("d").alias("mx"),
+            F.sum(F.col("d") % _DENSITY_MOD).alias("summod"),
+            F.expr("bit_xor(d)").alias("xr")]
+    if with_stats:
+        # segment stats ride the SAME check job (the append path needs
+        # them for exact avgdl), so the docs_store write needs no
+        # Observation and can run in a later parallel phase
+        cols += [F.col("dl"), F.col("meta_only")]
+        aggs += [F.sum("dl").alias("dls"),
+                 F.sum(F.col("meta_only").cast("long")).alias("deg")]
+    row = df.select(*cols).agg(*aggs).collect()[0]
     n = int(row["n"] or 0)
+    stats = ({"n": n, "dl_sum": int(row["dls"] or 0),
+              "degraded": int(row["deg"] or 0)} if with_stats else None)
     if n == 0:
-        return
+        return stats
     exp_summod, exp_xor = _dense_expected(n)
     if (int(row["mn"]) != 0 or int(row["mx"]) != n - 1
             or int(row["summod"]) != exp_summod or int(row["xr"]) != exp_xor):
@@ -195,6 +206,7 @@ def check_dense_ids(df: DataFrame, offset: int = 0, label: str = "build") -> Non
             f"(n={n}, min={row['mn']}, max={row['mx']}, offset={offset}): "
             "the input plan re-executed non-deterministically between the "
             "rank passes — materialize the input (checkpoint/write) and retry")
+    return stats
 
 
 def _fingerprint(docs_with_ids: DataFrame) -> str:

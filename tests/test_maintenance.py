@@ -256,7 +256,7 @@ def test_no_orphaned_persistent_rdds_after_release(spark, corpus):
     assert after == before, f"leaked persistent RDDs: {before} -> {after}"
 
 
-def test_docid_density_and_determinism_with_sampled_boundaries(spark):
+def test_docid_density_and_determinism_with_sampled_boundaries(spark, monkeypatch):
     """The round-3 scale bug: repartitionByRange's reservoir sample is
     seeded with the RDD id, so two executions of the same range shuffle
     drew different boundaries and the count/rank passes disagreed
@@ -267,8 +267,11 @@ def test_docid_density_and_determinism_with_sampled_boundaries(spark):
     0..n-1 series and identical across two independent calls."""
     from pyspark.sql import functions as F
 
+    from easy_solr4files_index_spark.operators import docids
     from easy_solr4files_index_spark.operators.docids import assign_doc_ids
 
+    monkeypatch.setattr(docids, "_DRIVER_RANK_MAX", 0)  # force the
+    # bucketed general path (10k rows would take the driver-rank shortcut)
     docs = synth_code_docs(spark, n_docs=10_000, seed=5)
     checksums = []
     for _ in range(2):
@@ -296,12 +299,17 @@ def test_bucket_expr_udf_path_matches_when_chain(spark, monkeypatch):
     from easy_solr4files_index_spark.operators import docids
 
     docs = synth_code_docs(spark, n_docs=2_000, seed=9)
+    # the driver-rank fast path must also agree (it is the form every
+    # small maintenance bag actually takes)
+    fast = docids.assign_doc_ids(docs, num_partitions=8)
+    hf = fast.agg(F.expr("bit_xor(xxhash64(repo, path, commit, doc_id))")).collect()[0][0]
+    monkeypatch.setattr(docids, "_DRIVER_RANK_MAX", 0)  # bucketed path
     a = docids.assign_doc_ids(docs, num_partitions=8)
     ha = a.agg(F.expr("bit_xor(xxhash64(repo, path, commit, doc_id))")).collect()[0][0]
     monkeypatch.setattr(docids, "_MAX_WHEN_CHAIN", 0)  # force the UDF form
     b = docids.assign_doc_ids(docs, num_partitions=8)
     hb = b.agg(F.expr("bit_xor(xxhash64(repo, path, commit, doc_id))")).collect()[0][0]
-    assert ha == hb
+    assert ha == hb == hf
 
 
 def test_docid_rank_with_null_and_empty_key_components(spark, monkeypatch):
@@ -335,9 +343,14 @@ def test_docid_rank_with_null_and_empty_key_components(spark, monkeypatch):
     expect = sorted((tuple(r) for r in keys.collect()), key=rank_key)
 
     ids = {}
-    for label, nparts, maxchain in [("when4", 4, 256), ("when16", 16, 256),
-                                    ("udf16", 16, 0)]:
+    # rank_max 10**9 keeps the driver-rank fast path on (its own
+    # null-ordering must match the same documented total order); 0
+    # forces the bucketed general path for the three boundary forms
+    for label, nparts, maxchain, rank_max in [
+            ("fast", 16, 256, 10**9), ("when4", 4, 256, 0),
+            ("when16", 16, 256, 0), ("udf16", 16, 0, 0)]:
         monkeypatch.setattr(docids, "_MAX_WHEN_CHAIN", maxchain)
+        monkeypatch.setattr(docids, "_DRIVER_RANK_MAX", rank_max)
         got = docids.assign_doc_ids(keys, num_partitions=nparts) \
             .select("repo", "path", "commit", "doc_id").collect()
         n = len(got)
@@ -347,7 +360,7 @@ def test_docid_rank_with_null_and_empty_key_components(spark, monkeypatch):
         by_id = [tuple(r)[:3] for r in sorted(got, key=lambda r: r["doc_id"])]
         assert by_id == expect, f"{label}: rank != documented total order"
         ids[label] = by_id
-    assert ids["when4"] == ids["when16"] == ids["udf16"]
+    assert ids["fast"] == ids["when4"] == ids["when16"] == ids["udf16"]
 
 
 def test_bucket_expr_udf_rejects_below_sep_keys(spark, monkeypatch):
@@ -361,6 +374,8 @@ def test_bucket_expr_udf_rejects_below_sep_keys(spark, monkeypatch):
     from easy_solr4files_index_spark.operators import docids
 
     monkeypatch.setattr(docids, "_MAX_WHEN_CHAIN", 0)  # force the UDF form
+    monkeypatch.setattr(docids, "_DRIVER_RANK_MAX", 0)  # bypass the
+    # small-input driver-rank fast path (it never touches _bucket_expr)
     rows = [(f"repo{i}", f"p{i}", "c") for i in range(50)]
     rows.append(("repo\x01evil", "p", "c"))
     docs = spark.createDataFrame(rows, "repo string, path string, commit string")
