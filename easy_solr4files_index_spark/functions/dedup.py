@@ -119,25 +119,48 @@ WHERE inter * 1.0 / (sa.n + sb.n - inter) >= {threshold}
 
 # ------------------------------------------------------------- minhash LSH
 
-def minhash_signatures(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """(doc_id, perm, mh) — 32 permutations h_i(x) = (a_i·x + b_i) mod (2^31−1)."""
-    spark = docs.sparkSession
-    perms = spark.createDataFrame(PERMS, "perm int, a long, b long")
+def minhash_signatures_wide(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, mh0..mh31) — 32 permutations h_i(x) = (a_i·x + b_i) mod
+    (2^31−1), as 32 ``min`` aggregate EXPRESSIONS inside ONE hash
+    aggregate over (doc_id) — the SimHash shape.
+
+    The round-1..3 form crossJoined every shingle row against the 32-row
+    perm table before a groupBy(doc_id, perm): at 200k docs × ~200
+    shingles that is a 1.3B-row intermediate feeding TWO aggregates (min,
+    then collect_list+array_sort per band). Here the shuffle carries one
+    partially-aggregated row per doc per map task and the per-shingle
+    md5 is evaluated once, not per perm; band signatures derive from the
+    32 columns row-locally, so the whole signature stage is one exchange.
+    """
     sh = _shingles(docs, text_col)
-    x = F.expr(MD5INT_SPARK.format(x="sh")) % F.lit(P31)
-    return (sh.withColumn("x", x).crossJoin(F.broadcast(perms))
-            .withColumn("h", (F.col("a") * F.col("x") + F.col("b")) % F.lit(P31))
-            .groupBy("doc_id", "perm").agg(F.min("h").alias("mh")))
+    x = (F.expr(MD5INT_SPARK.format(x="sh")) % F.lit(P31)).alias("x")
+    aggs = [F.min((F.lit(a) * F.col("x") + F.lit(b)) % F.lit(P31)).alias(f"mh{i}")
+            for i, a, b in PERMS]
+    return sh.select("doc_id", x).groupBy("doc_id").agg(*aggs)
+
+
+def minhash_signatures(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, perm, mh) — narrow view of :func:`minhash_signatures_wide`
+    (kept for tests/inspection; the band path never widens back)."""
+    wide = minhash_signatures_wide(docs, text_col)
+    mh = F.array(*[F.col(f"mh{i}") for i in range(N_PERMS)])
+    return (wide.select("doc_id", F.posexplode(mh).alias("perm", "mh")))
 
 
 def minhash_band_candidates(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """(a, b) candidate near-dup pairs: ≥1 equal LSH band signature."""
-    mh = minhash_signatures(docs, text_col)
-    bands = (mh.withColumn("band", (F.col("perm") / (N_PERMS // N_BANDS)).cast("int"))
-             .groupBy("doc_id", "band")
-             .agg(F.md5(F.concat_ws(",", F.transform(
-                 F.array_sort(F.collect_list(F.struct("perm", "mh"))),
-                 lambda s: s["mh"].cast("string")))).alias("sig")))
+    """(a, b) candidate near-dup pairs: ≥1 equal LSH band signature.
+
+    Band signatures are md5 over the band's mh values in perm order —
+    byte-identical to the DuckDB twin's ``string_agg(... ORDER BY perm)``
+    — computed row-locally from the wide signature columns (no second
+    aggregate), then exploded to (doc_id, band, sig) for the equi-join."""
+    rows = N_PERMS // N_BANDS
+    wide = minhash_signatures_wide(docs, text_col)
+    sigs = F.array(*[
+        F.md5(F.concat_ws(",", *[F.col(f"mh{b * rows + r}").cast("string")
+                                 for r in range(rows)]))
+        for b in range(N_BANDS)])
+    bands = wide.select("doc_id", F.posexplode(sigs).alias("band", "sig"))
     return (bands.alias("x").join(
         bands.alias("y"),
         (F.col("x.band") == F.col("y.band")) & (F.col("x.sig") == F.col("y.sig")) &

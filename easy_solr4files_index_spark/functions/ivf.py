@@ -87,13 +87,20 @@ def ivf_build(spark: SparkSession, emb: DataFrame, index_dir: str,
     corpus = emb.select(F.col(id_col).alias("vec_id"),
                         _as_double(F.col(vec_col)).alias("v"))
     acos = _dot(F.col("cv"), F.col("v")) / (_norm(F.col("cv")) * _norm(F.col("v")))
-    w = Window.partitionBy("vec_id").orderBy(F.col("acos").desc(),
-                                             F.col("centroid_id").asc())
+    # argmax by (acos desc, centroid_id asc) as ONE map-side-combinable
+    # max_by aggregate: the k×|corpus| crossJoin rows collapse to one row
+    # per vector inside each map task, so the exchange carries |corpus|
+    # rows — the earlier Window.partitionBy(vec_id) row_number shuffled
+    # and SORTED all k×|corpus| rows for the same answer.
+    key = F.struct(F.col("acos").alias("a"),
+                   (-F.col("centroid_id")).alias("c"))
     assign = (corpus.crossJoin(F.broadcast(
                   spark.read.parquet(os.path.join(index_dir, "centroids"))))
               .withColumn("acos", acos)
-              .withColumn("rn", F.row_number().over(w)).filter("rn = 1")
-              .select("vec_id", "v", "centroid_id"))
+              .groupBy("vec_id")
+              .agg(F.max_by(F.struct("centroid_id", "v"), key).alias("best"))
+              .select("vec_id", F.col("best.v").alias("v"),
+                      F.col("best.centroid_id").alias("centroid_id")))
     (assign.repartition("centroid_id")
      .write.mode("overwrite").partitionBy("centroid_id")
      .parquet(os.path.join(index_dir, "cells")))

@@ -80,8 +80,11 @@ def ivf_assign(emb: DataFrame, n_centroids: int = 8,
             .select(F.col(id_col).alias("vid"), _as_double(F.col(vec_col)).alias("v")))
     pairs = (rest.crossJoin(F.broadcast(cent))
              .withColumn("cos", _dot(F.col("cv"), F.col("v")) / (_norm(F.col("cv")) * _norm(F.col("v")))))
-    w = Window.partitionBy("vid").orderBy(F.col("cos").desc(), F.col("centroid_id").asc())
-    assign = pairs.withColumn("rn", F.row_number().over(w)).filter("rn = 1")
+    # argmax by (cos desc, centroid_id asc) as one map-side-combinable
+    # max_by aggregate — no corpus-scale rank-1 window sort
+    key = F.struct(F.col("cos").alias("s"), (-F.col("centroid_id")).alias("c"))
+    assign = pairs.groupBy("vid").agg(
+        F.max_by("centroid_id", key).alias("centroid_id"))
     return assign.groupBy("centroid_id").agg(F.count("*").alias("cnt"))
 
 
@@ -113,20 +116,27 @@ def kmeans_fit(emb: DataFrame, k: int = 8, iters: int = 5,
         d2 = F.aggregate(F.zip_with(F.col("cv"), F.col("v"),
                                     lambda a, b: (a - b) * (a - b)),
                          F.lit(0.0), lambda acc, x: acc + x)
-        w = Window.partitionBy("vid").orderBy(F.col("d2").asc(),
-                                              F.col("centroid_id").asc())
+        # argmin by (d2 asc, centroid_id asc) as ONE map-side-combinable
+        # max_by aggregate (same shape as ivf.ivf_build): the k×|corpus|
+        # crossJoin rows collapse to one per vector inside each map task
+        # instead of shuffling+sorting them all through a rank-1 window.
+        key = F.struct((-F.col("d2")).alias("d"),
+                       (-F.col("centroid_id")).alias("c"))
         assign = (corpus.crossJoin(F.broadcast(cent))
                   .withColumn("d2", d2)
-                  .withColumn("rn", F.row_number().over(w)).filter("rn = 1")
-                  .select("vid", "centroid_id", "v"))
-        means = (assign.select("centroid_id", F.posexplode("v").alias("pos", "x"))
-                 .groupBy("centroid_id", "pos").agg(F.avg("x").alias("m"))
-                 .groupBy("centroid_id")
-                 .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
-                 .select("centroid_id",
-                         F.transform("pm", lambda s: s["m"]).alias("cv"))
+                  .groupBy("vid")
+                  .agg(F.max_by(F.struct("centroid_id", "v"), key).alias("b"))
+                  .select("vid", F.col("b.centroid_id").alias("centroid_id"),
+                          F.col("b.v").alias("v")))
+        # recenter: per-dimension avg as dim agg expressions in one hash
+        # aggregate — no (vector × dim) posexplode, no collect_list sort
+        dim = len(cent_rows[0][1])
+        means = (assign.groupBy("centroid_id")
+                 .agg(*[F.avg(F.col("v")[i]).alias(f"m{i}")
+                        for i in range(dim)])
                  .collect())
-        new = {r["centroid_id"]: list(r["cv"]) for r in means}
+        new = {r["centroid_id"]: [float(r[f"m{i}"]) for i in range(dim)]
+               for r in means}
         # empty clusters keep their previous centroid (deterministic)
         cent_rows = [(i, new.get(i, v)) for i, (_, v) in enumerate(cent_rows)]
     corpus.unpersist()
@@ -171,12 +181,16 @@ def ivf_topk(emb: DataFrame, query_ids: list[int], k: int = 5,
                         _as_double(F.col(vec_col)).alias("cv")))
     corpus = emb.select(F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("v"))
     acos = _dot(F.col("cv"), F.col("v")) / (_norm(F.col("cv")) * _norm(F.col("v")))
-    wa = Window.partitionBy("neighbor_id").orderBy(F.col("acos").desc(),
-                                                   F.col("centroid_id").asc())
+    # corpus→cell argmax as a max_by aggregate (map-side combine collapses
+    # the k×|corpus| crossJoin rows before the exchange; the old rank-1
+    # window shuffled and sorted them all)
+    ka = F.struct(F.col("acos").alias("s"), (-F.col("centroid_id")).alias("c"))
     assign = (corpus.crossJoin(F.broadcast(cent))
               .withColumn("acos", acos)
-              .withColumn("rn", F.row_number().over(wa)).filter("rn = 1")
-              .select("neighbor_id", "v", "centroid_id"))
+              .groupBy("neighbor_id")
+              .agg(F.max_by(F.struct("centroid_id", "v"), ka).alias("b"))
+              .select("neighbor_id", F.col("b.v").alias("v"),
+                      F.col("b.centroid_id").alias("centroid_id")))
 
     q = (emb.filter(F.col(id_col).isin(query_ids))
          .select(F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")))
