@@ -443,6 +443,28 @@ def _q_dedup_jaccard(spark, sf_dir):
     return dedup.ngram_jaccard_pairs(_docs_raw(spark, sf_dir), threshold=0.6)
 
 
+def _q_stream_dedup_gate(spark, sf_dir):
+    """Stateful streaming first-seen exact-dedup gate
+    (streaming/dedup_gate.py, applyInPandasWithState): a REAL
+    availableNow streaming query — file source → keyed state store →
+    parquet sink — over the sf corpus in a temp dir. With a single
+    micro-batch the pass-set is SQL-expressible (the lexicographic-min
+    (repo, path) row per content hash), so the oracle stays hash-exact;
+    the cross-batch state semantics are gated by
+    tests/test_streaming_dedup.py."""
+    import os
+    import tempfile
+
+    from easy_solr4files_index_spark.streaming.dedup_gate import stream_dedup_gate
+
+    d = tempfile.mkdtemp(prefix="entry_sdg_")
+    src, sink, ckpt = (os.path.join(d, x) for x in ("src", "sink", "ckpt"))
+    load_docs(spark, sf_dir, with_acl=False).write.mode("overwrite").parquet(src)
+    stream_dedup_gate(spark, src, sink, ckpt)
+    return (spark.read.parquet(sink)
+            .select("repo", "path", "lang", "content_md5"))
+
+
 def _q_dedup_minhash(spark, sf_dir):
     return dedup.minhash_band_candidates(_docs_raw(spark, sf_dir))
 
@@ -725,6 +747,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": _q_dedup_simhash,
         "ann_ivf_assign": _q_ann_ivf,
         "ann_ivf_topk": _q_ann_ivf_topk,
+        # streaming-stateful (applyInPandasWithState) — single-batch run
+        # is SQL-expressible, so it carries a full hash oracle
+        "str_dedup_gate": _q_stream_dedup_gate,
     })
     return out
 
@@ -834,6 +859,16 @@ def oracle_sql() -> dict[str, str]:
         tokenize_py("the spark", ()), k=10, stopwords=())
     out["dedup_exact_groups"] = dedup.exact_dup_groups_sql()
     out["dedup_ngram_jaccard"] = dedup.ngram_jaccard_pairs_sql(threshold=0.6)
+    out["str_dedup_gate"] = """
+WITH docs AS (
+  SELECT source AS repo,
+         'docs/' || lpad(CAST(doc_id AS VARCHAR), 8, '0') || '.txt' AS path,
+         lang, md5(coalesce(text, '')) AS content_md5
+  FROM documents),
+g AS (SELECT *, row_number() OVER (PARTITION BY content_md5
+                                   ORDER BY repo, path) AS rn FROM docs)
+SELECT repo, path, lang, content_md5 FROM g WHERE rn = 1
+"""
     out["dedup_minhash_lsh"] = dedup.minhash_band_candidates_sql()
     out["dedup_simhash"] = dedup.simhash32_sql()
     out["dedup_apply"] = dedup.dedup_apply_sql(threshold=0.6)

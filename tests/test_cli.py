@@ -114,3 +114,27 @@ def test_spark_submit_pyfiles_smoke(tmp_path):
     assert env["summary"]["found"] >= 5
     scores = [fi["score"] for fi in env["fileitems"]]
     assert scores == sorted(scores, reverse=True)
+
+
+def test_cli_build_from_catalog_table(capsys, spark, tmp_path):
+    """--input accepts a catalog table identifier (`spark.read.table`) —
+    the DataSource-V2 path an Iceberg `cat.db.docs` table takes when the
+    runtime carries the Iceberg jars (this container has none, so the
+    built-in catalog's parquet provider proves the same branch)."""
+    from easy_solr4files_index_spark.sources.docs_source import load_docs
+
+    load_docs(spark, "/root/testdata/sf0.001").limit(120).write \
+        .mode("overwrite").saveAsTable("docs_tbl_r4")
+    try:
+        d = str(tmp_path / "idx_tbl")
+        rc = cli.main(["build", "--input", "docs_tbl_r4",
+                       "--index", d, "--lineage-groups", "1"])
+        assert rc == 0
+        out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert out["n_docs"] == 120
+        rc = cli.main(["query", "--index", d, "--text", "spark join", "--k", "2"])
+        assert rc == 0
+        env = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert env["summary"]["returned"] == 2
+    finally:
+        spark.sql("DROP TABLE IF EXISTS docs_tbl_r4")

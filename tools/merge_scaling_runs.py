@@ -74,6 +74,16 @@ def _merge_pair(a: dict, b: dict) -> dict:
         raise SystemExit(
             f"cannot merge pair {n_low}->{n_high} with {b['n_low']}->"
             f"{b['n_high']}: runs under one label must share core levels")
+    # per-leg-best across runs is only meaningful over the SAME input:
+    # mixing corpus sizes (SPARK_GRAFT_SCALE_DOCS) would ratio legs of
+    # different jobs
+    na = a["results"][str(n_low)].get("n_files")
+    nb = b["results"][str(n_low)].get("n_files")
+    if na is not None and nb is not None and na != nb:
+        raise SystemExit(
+            f"cannot merge runs over different corpus sizes "
+            f"({na} vs {nb} files): rerun with matching "
+            f"SPARK_GRAFT_SCALE_DOCS")
     lo, hi = str(n_low), str(n_high)
     results = {lvl: _merge_level(a["results"][lvl], b["results"][lvl])
                for lvl in (lo, hi)}
