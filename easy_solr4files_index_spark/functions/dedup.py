@@ -215,10 +215,13 @@ def dedup_apply(docs: DataFrame, threshold: float = 0.6,
     one hash aggregate, lineage truncated via localCheckpoint.
     """
     cand = minhash_band_candidates(docs, text_col).persist()
-    sh = _shingles(docs, text_col)
     in_cand = (cand.select(F.col("a").alias("doc_id"))
                .union(cand.select(F.col("b").alias("doc_id"))).distinct())
-    shc = sh.join(in_cand, "doc_id", "left_semi").persist()
+    # semi-join the RAW docs before re-tokenizing: Catalyst cannot push a
+    # join below the shingle explode, so cutting first means the verify
+    # pass tokenizes only docs that appear in some candidate pair
+    shc = _shingles(docs.join(in_cand, "doc_id", "left_semi"),
+                    text_col).persist()
     sizes = shc.groupBy("doc_id").agg(F.count("*").alias("n"))
     shx = shc.select(F.col("doc_id").alias("a"), "sh")
     shy = shc.select(F.col("doc_id").alias("b"), "sh")
