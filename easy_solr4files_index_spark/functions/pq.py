@@ -77,15 +77,24 @@ def pq_train(emb: DataFrame, m: int = 4, ksub: int = 16,
     dsub = dim // m
     unit = emb.select(F.col(id_col).alias("vec_id"),
                       _normalized(F.col(vec_col)).alias("v"))
-    books: list[list[list[float]]] = []
-    for j in range(m):
+
+    # the m sub-space fits are independent — submit them from threads so
+    # their per-iteration job latencies overlap (Spark schedules the
+    # concurrent jobs onto free task slots; same pattern as
+    # operators/maintenance._run_parallel). Each fit is deterministic on
+    # its own slice, so thread interleaving cannot change the codebooks.
+    def _fit(j: int) -> list[list[float]]:
         sub = unit.select("vec_id",
                           F.slice("v", j * dsub + 1, dsub).alias("sv"))
         cent = kmeans_fit(sub, k=ksub, iters=train_iters,
                           vec_col="sv", id_col="vec_id")
-        rows = cent.orderBy("centroid_id").collect()
-        books.append([list(r["cv"]) for r in rows])
-    return books
+        return [list(r["cv"]) for r in cent.orderBy("centroid_id").collect()]
+
+    if m == 1:
+        return [_fit(0)]
+    from concurrent.futures import ThreadPoolExecutor
+    with ThreadPoolExecutor(max_workers=m) as ex:
+        return list(ex.map(_fit, range(m)))
 
 
 def pq_encode(emb: DataFrame, codebooks: list[list[list[float]]],
