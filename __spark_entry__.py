@@ -97,14 +97,17 @@ def entry(spark: SparkSession) -> DataFrame:
 # strict subset of one of these) live in extra_queries()
 _SEARCHES: dict[str, tuple[str | None, int, int, dict | None]] = {
     "fts_topk_multi": ("spark join merge", 10, 0, None),
-    "fts_topk_hot": ("join", 15, 0, None),           # highest-df term: WAND stress
     "fts_topk_filters2": ("query window", 10, 0, {"lang": ["de", "fr"], "repo": ["src0", "src1", "src2", "src3", "src4", "src5"]}),
     "fts_matchall_page": (None, 10, 5, {"lang": ["de"]}),
 }
 
-# the retired searches' parameters (extra_queries + their oracles)
+# the retired searches' parameters (extra_queries + their oracles);
+# fts_topk_hot retired round-4 to free a driver-window slot for the new
+# str_dedup_gate operator — same _mk_search code path as fts_topk_multi,
+# and the hot-term/skew evidence lives in bench.py's q3_hot
 _EXTRA_SEARCHES: dict[str, tuple[str | None, int, int, dict | None]] = {
     "fts_topk_single": ("dup", 10, 0, None),
+    "fts_topk_hot": ("join", 15, 0, None),           # highest-df term: WAND stress
     "fts_topk_filtered": ("table scan", 10, 0, {"lang": ["en"]}),
     "fts_topk_page": ("spark", 5, 3, None),
 }
@@ -661,6 +664,7 @@ def _q_envelope(spark, sf_dir):
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         # --- never driver-checked before r04 / new this round ---
+        "str_dedup_gate": _q_stream_dedup_gate,
         "ann_ivf_mat_topk": _q_ann_ivf_materialized,
         "ann_pq_rerank": _q_ann_pq_rerank,
         "ann_ivfpq_topk": _q_ann_ivfpq,
@@ -747,9 +751,6 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": _q_dedup_simhash,
         "ann_ivf_assign": _q_ann_ivf,
         "ann_ivf_topk": _q_ann_ivf_topk,
-        # streaming-stateful (applyInPandasWithState) — single-batch run
-        # is SQL-expressible, so it carries a full hash oracle
-        "str_dedup_gate": _q_stream_dedup_gate,
     })
     return out
 
