@@ -90,58 +90,76 @@ def ivf_assign(emb: DataFrame, n_centroids: int = 8,
 
 def kmeans_fit(emb: DataFrame, k: int = 8, iters: int = 5,
                vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
-    """Deterministic Lloyd k-means over an embedding column — the real
-    IVF centroid fit (round 1 used "first k vectors" as a stand-in).
+    """Lloyd k-means over an embedding column — the real IVF centroid
+    fit (round 1 used "first k vectors" as a stand-in).
 
-    Per iteration: one broadcast crossJoin against the k centroids
-    (assign, rank-1 window) + one posexplode/avg aggregate (recenter).
-    Only k×dim floats ever reach the driver (the new centroids), so the
-    loop is cluster-size independent; iterations are a fixed small count
-    (k-means converges fast and determinism matters more than the last
-    0.1% inertia). Init = the first k vectors by id (seeded, reproducible).
+    Per iteration: ONE Arrow-vectorized pass (`mapInPandas`) computes the
+    assign + partial recenter sums per partition — distances are a BLAS
+    matmul ``‖x‖² − 2·X·Cᵀ + ‖c‖²`` over the whole Arrow batch, argmin
+    ties break to the lowest centroid_id (numpy first-min), and only
+    k×(dim+1) partial sums leave each partition. A single hash aggregate
+    merges the partials; only k×dim floats ever reach the driver, so the
+    loop is cluster-size independent. Iterations are a fixed small count
+    (k-means converges fast and reproducibility matters more than the
+    last 0.1% inertia). Init = the first k vectors by id (reproducible).
 
     Returns (centroid_id int, cv array<double>). Iterative ⇒ not
-    SQL-expressible; gated by tests/test_similarity_dedup.py (inertia
-    monotonicity + partition coverage) instead of a DuckDB twin.
+    SQL-expressible; gated by tests/test_streaming_kmeans.py (inertia
+    improvement + full-probe IVF exactness) instead of a DuckDB twin.
     """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
     spark = emb.sparkSession
     corpus = emb.select(F.col(id_col).alias("vid"),
                         _as_double(F.col(vec_col)).alias("v")).persist()
-    cent_rows = [(int(r["vid"]), list(r["v"])) for r in
+    cent_rows = [list(r["v"]) for r in
                  corpus.filter(F.col("vid") < k).orderBy("vid").collect()]
+    dim = len(cent_rows[0])
+    part_schema = T.StructType(
+        [T.StructField("centroid_id", T.IntegerType())]
+        + [T.StructField(f"s{i}", T.DoubleType()) for i in range(dim)]
+        + [T.StructField("cnt", T.LongType())])
     for _ in range(iters):
-        cent = spark.createDataFrame(
-            [(i, v) for i, (_, v) in enumerate(cent_rows)],
-            "centroid_id int, cv array<double>")
-        d2 = F.aggregate(F.zip_with(F.col("cv"), F.col("v"),
-                                    lambda a, b: (a - b) * (a - b)),
-                         F.lit(0.0), lambda acc, x: acc + x)
-        # argmin by (d2 asc, centroid_id asc) as ONE map-side-combinable
-        # max_by aggregate (same shape as ivf.ivf_build): the k×|corpus|
-        # crossJoin rows collapse to one per vector inside each map task
-        # instead of shuffling+sorting them all through a rank-1 window.
-        key = F.struct((-F.col("d2")).alias("d"),
-                       (-F.col("centroid_id")).alias("c"))
-        assign = (corpus.crossJoin(F.broadcast(cent))
-                  .withColumn("d2", d2)
-                  .groupBy("vid")
-                  .agg(F.max_by(F.struct("centroid_id", "v"), key).alias("b"))
-                  .select("vid", F.col("b.centroid_id").alias("centroid_id"),
-                          F.col("b.v").alias("v")))
-        # recenter: per-dimension avg as dim agg expressions in one hash
-        # aggregate — no (vector × dim) posexplode, no collect_list sort
-        dim = len(cent_rows[0][1])
-        means = (assign.groupBy("centroid_id")
-                 .agg(*[F.avg(F.col("v")[i]).alias(f"m{i}")
-                        for i in range(dim)])
-                 .collect())
-        new = {r["centroid_id"]: [float(r[f"m{i}"]) for i in range(dim)]
-               for r in means}
+        cent = np.asarray(cent_rows, dtype=np.float64)  # k × dim, closure
+        c2 = (cent * cent).sum(axis=1)
+
+        def partials(batches, _c=cent, _c2=c2):
+            sums = np.zeros_like(_c)
+            cnts = np.zeros(len(_c), dtype=np.int64)
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                x = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+                d2 = ((x * x).sum(axis=1)[:, None]
+                      - 2.0 * (x @ _c.T) + _c2[None, :])
+                a = np.argmin(d2, axis=1)  # first min = lowest centroid_id
+                np.add.at(sums, a, x)
+                cnts += np.bincount(a, minlength=len(_c))
+            live = np.flatnonzero(cnts)
+            if len(live):
+                out = pd.DataFrame({"centroid_id": live.astype("int32")})
+                for i in range(len(_c[0])):
+                    out[f"s{i}"] = sums[live, i]
+                out["cnt"] = cnts[live]
+                yield out
+
+        # merge partials in ONE hash aggregate (dim+1 sum expressions);
+        # ≤ partitions×k rows shuffle, k rows collect
+        merged = (corpus.mapInPandas(partials, part_schema)
+                  .groupBy("centroid_id")
+                  .agg(F.sum("cnt").alias("n"),
+                       *[F.sum(f"s{i}").alias(f"s{i}") for i in range(dim)])
+                  .collect())
+        new = {int(r["centroid_id"]):
+               [float(r[f"s{i}"]) / r["n"] for i in range(dim)]
+               for r in merged}
         # empty clusters keep their previous centroid (deterministic)
-        cent_rows = [(i, new.get(i, v)) for i, (_, v) in enumerate(cent_rows)]
+        cent_rows = [new.get(i, v) for i, v in enumerate(cent_rows)]
     corpus.unpersist()
     return spark.createDataFrame(
-        [(i, v) for i, (_, v) in enumerate(cent_rows)],
+        [(i, v) for i, v in enumerate(cent_rows)],
         "centroid_id int, cv array<double>")
 
 
