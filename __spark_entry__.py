@@ -588,6 +588,18 @@ def _q_mm_decode(spark, sf_dir):
         multimodal.attach_binary_payload(_docs_raw(spark, sf_dir)))
 
 
+def _q_mm_extract(spark, sf_dir):
+    """S8 REAL content extraction for text mimes (the Tika-equivalent,
+    Solr.scala:133-143): html/xml/plain payloads reduced to their visible
+    text by a pure-Catalyst regex/replace chain (script+style+comment
+    removal, CDATA unwrap, tag strip, entity decode, whitespace
+    canonicalization) — JVM-side, zero Python, pipelined inside the
+    payload scan. Binary media (pdf/docx/png) stays behind the documented
+    decoder stub -> NULL -> metadata-only fallback (S10/E2)."""
+    return multimodal.extract_text(
+        multimodal.attach_markup_payload(_docs_raw(spark, sf_dir)))
+
+
 def _index_catenate(spark: SparkSession, sf_dir: str) -> FtsIndex:
     """X4 catenateWords=1 on the DEFAULT Catalyst chain (reference's
     identifier analyzer emits parts + the catenated word,
@@ -664,6 +676,7 @@ def _q_envelope(spark, sf_dir):
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         # --- never driver-checked before r04 / new this round ---
+        "mm_extract_text": _q_mm_extract,
         "str_dedup_gate": _q_stream_dedup_gate,
         "ann_ivf_mat_topk": _q_ann_ivf_materialized,
         "ann_pq_rerank": _q_ann_pq_rerank,
@@ -678,7 +691,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": _q_ann_cosine,
         "ann_signlsh_buckets": _q_ann_signlsh,
         "dedup_embedding": _q_dedup_embedding,
-        "mm_decode_stub": _q_mm_decode,
     }
     q.update({name: _mk_search(p) for name, p in _SEARCHES.items()})
     q.update({
@@ -736,9 +748,13 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       fts_topk_access_authed             ⊂ fts_auth_join (same access_filter)
       dedup_minhash_lsh / dedup_simhash  ⊂ dedup_apply / dedup_simhash_cand
       ann_ivf_assign / ann_ivf_topk      ⊂ ann_ivf_mat_topk (materialized IVF)
+      mm_decode_stub (fake-dim features)  ⊂ mm_extract_text (REAL text
+                                           extraction; same payload/mime/
+                                           byte_len/gate plumbing)
     """
     out = {name: _mk_search(p) for name, p in _EXTRA_SEARCHES.items()}
     out.update({
+        "mm_decode_stub": _q_mm_decode,
         "fts_numfound": _q_numfound,
         "fts_delete_prefix": _q_delete_prefix,
         "meta_vocab_join": _q_meta_vocab_join,
@@ -891,4 +907,5 @@ SELECT repo, path, lang, content_md5 FROM g WHERE rn = 1
     out["ann_signlsh_buckets"] = similarity.signlsh_buckets_sql(n_planes=4)
     out["dedup_embedding"] = similarity.embedding_near_dups_sql(threshold=0.4)
     out["mm_decode_stub"] = multimodal.decode_features_sql()
+    out["mm_extract_text"] = multimodal.extract_text_sql()
     return out

@@ -95,6 +95,195 @@ def decode_features(with_payload: DataFrame, use_real_decoder: bool = False) -> 
         "doc_id long, mime string, byte_len long, width long, height long, gated boolean")
 
 
+# ---------------------------------------------------------------------------
+# S8 real text extraction (the Tika-equivalent for text mimes)
+#
+# The reference hands every payload to Tika via Solr Cell
+# (Solr.scala:133-143, solrconfig.xml:990-1002) and Tika dispatches by
+# mime: text/plain passes through, text/html and text/xml are parsed to
+# their visible text (markup stripped, entities decoded). Those three
+# need no external libraries, so this engine implements them FOR REAL as
+# a pure-Catalyst expression chain (JVM-side regexp_replace/replace —
+# whole-stage-codegen, no Python in the hot path). Only the binary-media
+# decoders (pdf/docx/image/audio) stay behind the documented stub
+# boundary (real_image_decode above): their extraction yields NULL and
+# the doc falls back to metadata-only indexing — exactly the reference's
+# per-file degradation path (Solr.scala:65-73, package.scala:110-112).
+# ---------------------------------------------------------------------------
+
+# decoded AFTER tag-stripping (Tika order: "A &lt;b&gt;" extracts to
+# "A <b>", which tag-stripping must not re-eat); "&amp;" is decoded LAST
+# so "&amp;lt;" yields the literal "&lt;" and never a phantom "<"
+_ENTITIES: tuple[tuple[str, str], ...] = (
+    ("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+    ("&#39;", "'"), ("&apos;", "'"), ("&nbsp;", " "), ("&amp;", "&"),
+)
+
+# regexes shared verbatim by the Catalyst chain (Java regex) and the
+# DuckDB twin (RE2): inline (?is) flags, non-greedy spans, no
+# backreferences — the syntax subset both engines implement identically.
+_RE_SCRIPT = r"(?is)<script[^>]*>.*?</script>"
+_RE_STYLE = r"(?is)<style[^>]*>.*?</style>"
+_RE_COMMENT = r"(?s)<!--.*?-->"
+_RE_CDATA = r"(?s)<!\[CDATA\[(.*?)\]\]>"
+_RE_TAG = r"<[^>]*>"
+_RE_WS = r"\s+"
+
+
+def _strip_markup_expr(col, html: bool):
+    if html:
+        col = F.regexp_replace(col, _RE_SCRIPT, " ")
+        col = F.regexp_replace(col, _RE_STYLE, " ")
+    col = F.regexp_replace(col, _RE_COMMENT, " ")
+    # CDATA content is kept verbatim-as-text; a CDATA section whose
+    # content itself looks like markup is NOT protected from the tag
+    # strip below (a regex extractor's documented limit vs a real parser)
+    col = F.regexp_replace(col, _RE_CDATA, " $1 ")
+    col = F.regexp_replace(col, _RE_TAG, " ")
+    for ent, ch in _ENTITIES:
+        col = F.replace(col, F.lit(ent), F.lit(ch))
+    return F.trim(F.regexp_replace(col, _RE_WS, " "))
+
+
+def extract_text_expr(payload=None, mime=None):
+    """Catalyst column: extracted searchable text of a (payload binary,
+    mime) pair — text/plain decoded + whitespace-canonicalized, text/html
+    and text/xml reduced to their visible text; anything else (binary
+    media, or over the 64 MiB / mime gate) is NULL, the metadata-only
+    fallback signal (S10/E2)."""
+    payload = F.col("payload") if payload is None else payload
+    mime = F.col("mime") if mime is None else mime
+    raw = F.decode(payload, "UTF-8")
+    gated = (F.length(payload) > MAX_DECODE_BYTES) | ~mime.isin(*MIME_ALLOWLIST)
+    return (F.when(gated, F.lit(None).cast("string"))
+             .when(mime == "text/html", _strip_markup_expr(raw, html=True))
+             .when(mime == "text/xml", _strip_markup_expr(raw, html=False))
+             .when(mime == "text/plain",
+                   F.trim(F.regexp_replace(raw, _RE_WS, " ")))
+             .otherwise(F.lit(None).cast("string")))  # pdf/docx: binary
+                                                      # decoder stubbed
+
+
+# deterministic mime-shaped wrappers over documents.text — the test/bench
+# corpus for the extractor (the markup exercises every rule: script,
+# style, comment, CDATA, nested tags, every entity incl. the &amp;-last
+# ordering trap "T&amp;T")
+_WRAP_HTML_PRE = ('<html><head><title>T&amp;T</title>'
+                  '<style type="text/css">p { color: red; }</style>'
+                  '<script>var x = 1 < 2;</script></head>'
+                  '<body><p class="lead">A &lt;b&gt; &quot;q&quot;'
+                  '&nbsp;&#39;s&apos;</p> ')
+_WRAP_HTML_POST = ' <!-- footer --></body></html>'
+_WRAP_XML_PRE = ('<?xml version="1.0" encoding="UTF-8"?><doc id="{id}">'
+                 '<!-- generated --><title>A &amp; B</title>'
+                 '<body><![CDATA[raw cdata 42]]> ')
+_WRAP_XML_POST = '</body></doc>'
+_WRAP_PDF_PRE = '%PDF-1.4 stream '
+_WRAP_PDF_POST = ' endstream'
+
+
+def attach_markup_payload(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """documents -> (doc_id, mime, payload binary): the extraction test
+    corpus — each doc's text wrapped in deterministic markup shaped by
+    its mime (pure function of doc_id, replicated in SQL)."""
+    mimes = F.array(*[F.lit(m) for m in _MIMES])
+    mime = F.element_at(mimes, (F.col("doc_id") % len(_MIMES) + 1).cast("int"))
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    xml_pre, xml_mid = _WRAP_XML_PRE.split("{id}")
+    wrapped = (F.when(mime == "text/html",
+                      F.concat(F.lit(_WRAP_HTML_PRE), text,
+                               F.lit(_WRAP_HTML_POST)))
+                .when(mime == "text/xml",
+                      F.concat(F.lit(xml_pre),
+                               F.col("doc_id").cast("string"),
+                               F.lit(xml_mid), text, F.lit(_WRAP_XML_POST)))
+                .when(mime.isin("application/pdf",
+                                "application/vnd.openxmlformats-officedocument"
+                                ".wordprocessingml.document"),
+                      F.concat(F.lit(_WRAP_PDF_PRE), text,
+                               F.lit(_WRAP_PDF_POST)))
+                .when(mime == "image/png",
+                      F.concat(F.lit("PNG:"), text))
+                .otherwise(text))  # text/plain: the raw text
+    return docs.select("doc_id", mime.alias("mime"),
+                       F.encode(wrapped, "UTF-8").alias("payload"))
+
+
+def extract_text(with_payload: DataFrame) -> DataFrame:
+    """(doc_id, mime, byte_len, gated, extracted) — the S8 extraction
+    operator over a binary-payload table. Entirely JVM-side: one
+    projection, no shuffle, no Python — at 100 TB this pipelines inside
+    the scan stage that reads the payloads."""
+    gated = ((F.length(F.col("payload")) > MAX_DECODE_BYTES)
+             | ~F.col("mime").isin(*MIME_ALLOWLIST))
+    return with_payload.select(
+        "doc_id", "mime",
+        F.length(F.col("payload")).alias("byte_len"),
+        gated.alias("gated"),
+        extract_text_expr().alias("extracted"))
+
+
+def _strip_markup_sql(col: str, html: bool) -> str:
+    out = col
+    if html:
+        out = f"regexp_replace({out}, '{_RE_SCRIPT}', ' ', 'g')"
+        out = f"regexp_replace({out}, '{_RE_STYLE}', ' ', 'g')"
+    out = f"regexp_replace({out}, '{_RE_COMMENT}', ' ', 'g')"
+    out = f"regexp_replace({out}, '{_RE_CDATA}', ' \\1 ', 'g')"
+    out = f"regexp_replace({out}, '{_RE_TAG}', ' ', 'g')"
+    for ent, ch in _ENTITIES:
+        lit = ch.replace("'", "''")
+        out = f"replace({out}, '{ent.replace(chr(39), chr(39)*2)}', '{lit}')"
+    return f"trim(regexp_replace({out}, '\\s+', ' ', 'g'))"
+
+
+def extract_text_sql() -> str:
+    """DuckDB twin of attach_markup_payload >> extract_text over the
+    documents table (same wrap templates, same regex chain in RE2)."""
+    mimes = ", ".join(f"'{m}'" for m in _MIMES)
+    allow = ", ".join(f"'{m}'" for m in MIME_ALLOWLIST)
+    xml_pre, xml_mid = _WRAP_XML_PRE.split("{id}")
+
+    def q(s: str) -> str:
+        return s.replace("'", "''")
+
+    docx = ("application/vnd.openxmlformats-officedocument"
+            ".wordprocessingml.document")
+    wrapped = f"""CASE mime
+        WHEN 'text/html' THEN '{q(_WRAP_HTML_PRE)}' || txt || '{q(_WRAP_HTML_POST)}'
+        WHEN 'text/xml' THEN '{q(xml_pre)}' || CAST(doc_id AS VARCHAR) || '{q(xml_mid)}' || txt || '{q(_WRAP_XML_POST)}'
+        WHEN 'application/pdf' THEN '{q(_WRAP_PDF_PRE)}' || txt || '{q(_WRAP_PDF_POST)}'
+        WHEN '{docx}' THEN '{q(_WRAP_PDF_PRE)}' || txt || '{q(_WRAP_PDF_POST)}'
+        WHEN 'image/png' THEN 'PNG:' || txt
+        ELSE txt END"""
+    return f"""
+WITH m AS (
+  SELECT doc_id,
+         ([{mimes}])[CAST(doc_id % {len(_MIMES)} AS INT) + 1] AS mime,
+         coalesce(text, '') AS txt
+  FROM documents
+), w AS (
+  SELECT doc_id, mime, {wrapped} AS wrapped FROM m
+), g AS (
+  SELECT doc_id, mime, octet_length(encode(wrapped)) AS byte_len,
+         octet_length(encode(wrapped)) > {MAX_DECODE_BYTES}
+           OR mime NOT IN ({allow}) AS gated,
+         wrapped
+  FROM w
+)
+SELECT doc_id, mime, byte_len, gated,
+       CASE
+         WHEN gated THEN NULL
+         WHEN mime = 'text/html' THEN {_strip_markup_sql('wrapped', True)}
+         WHEN mime = 'text/xml' THEN {_strip_markup_sql('wrapped', False)}
+         WHEN mime = 'text/plain'
+           THEN trim(regexp_replace(wrapped, '\\s+', ' ', 'g'))
+         ELSE NULL
+       END AS extracted
+FROM g
+"""
+
+
 def decode_features_sql() -> str:
     mimes = ", ".join(f"'{m}'" for m in _MIMES)
     allow = ", ".join(f"'{m}'" for m in MIME_ALLOWLIST)

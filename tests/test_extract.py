@@ -1,0 +1,116 @@
+"""S8 real text extraction (the Tika-equivalent for text mimes,
+Solr.scala:133-143): golden-case semantics of the Catalyst regex chain,
+parity with the DuckDB twin, and the compose-to-index path (extracted
+text -> build_index; binary mimes -> metadata-only degraded docs, E2)."""
+
+from __future__ import annotations
+
+import duckdb
+import pyspark.sql.functions as F
+
+from easy_solr4files_index_spark.functions import multimodal as mm
+from easy_solr4files_index_spark.operators.index_build import (
+    IndexConfig, build_index)
+from easy_solr4files_index_spark.operators.query import search
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _extract_one(spark, mime: str, payload: str) -> str | None:
+    df = spark.createDataFrame([(0, mime, bytearray(payload, "utf-8"))],
+                               "doc_id long, mime string, payload binary")
+    return mm.extract_text(df).collect()[0]["extracted"]
+
+
+def test_html_golden(spark):
+    got = _extract_one(spark, "text/html", (
+        "<html><head><title>T&amp;T</title>"
+        "<style>p{}</style><script>var x = 1 < 2;</script></head>"
+        "<body><p>A &lt;b&gt; &quot;q&quot;&nbsp;&#39;s</p>"
+        "<!-- gone -->hello   world</body></html>"))
+    # script/style/comments removed, tags stripped, entities decoded
+    # AFTER the strip (so "&lt;b&gt;" survives as literal "<b>"),
+    # whitespace canonicalized
+    assert got == 'T&T A <b> "q" \'s hello world'
+
+
+def test_amp_decoded_last(spark):
+    # "&amp;lt;" must yield the literal string "&lt;", never "<"
+    assert _extract_one(spark, "text/html", "<p>&amp;lt;</p>") == "&lt;"
+
+
+def test_xml_golden(spark):
+    got = _extract_one(spark, "text/xml", (
+        '<?xml version="1.0"?><doc id="7"><!-- c -->'
+        "<title>A &amp; B</title><body><![CDATA[raw cdata 42]]> ok</body></doc>"))
+    assert got == "A & B raw cdata 42 ok"
+
+
+def test_plain_passthrough_normalized(spark):
+    assert _extract_one(spark, "text/plain", "  a\t b\n\nc ") == "a b c"
+
+
+def test_binary_mimes_null(spark):
+    # pdf/docx: in the mime allowlist but the binary decoder is the
+    # documented stub -> NULL; png: outside the allowlist (gated)
+    assert _extract_one(spark, "application/pdf", "%PDF-1.4 x") is None
+    assert _extract_one(spark, "image/png", "PNG:x") is None
+
+
+def test_size_gate(spark):
+    df = spark.createDataFrame([(0, "text/plain", bytearray(b"x"))],
+                               "doc_id long, mime string, payload binary")
+    out = mm.extract_text(df).collect()[0]
+    assert out["gated"] is False and out["extracted"] == "x"
+    # the 64 MiB cap is enforced on byte length (reference
+    # application.properties:24); assert the gate expression fires by
+    # shrinking nothing — just verify the column formula on a fake len
+    gated = mm.extract_text(
+        df.withColumn("payload",
+                      F.expr(f"cast(repeat('y', 1024) as binary)"))
+    ).collect()[0]
+    assert gated["byte_len"] == 1024 and gated["gated"] is False
+
+
+def test_parity_vs_duckdb(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    got = sorted(
+        (tuple(r) for r in
+         mm.extract_text(mm.attach_markup_payload(docs)).collect()),
+        key=repr)
+    con = duckdb.connect()
+    con.execute("CREATE VIEW documents AS SELECT * FROM "
+                f"'{SF_DIR}/documents.parquet'")
+    want = sorted((tuple(r) for r in
+                   con.execute(mm.extract_text_sql()).fetchall()), key=repr)
+    assert got == want
+
+
+def test_extracted_corpus_indexes_end_to_end(spark):
+    """S8 -> S9/S10/E2 composition: the extractor's output feeds the
+    index build directly; html body terms are searchable, binary-mime
+    docs land metadata-only AND are counted as degraded."""
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(60)
+    extracted = mm.extract_text(mm.attach_markup_payload(docs))
+    corpus = extracted.select(
+        F.col("doc_id").cast("string").alias("path_id"),
+        F.lit("mmrepo").alias("repo"),
+        F.concat(F.lit("docs/"), F.col("doc_id").cast("string"),
+                 F.lit(".txt")).alias("path"),
+        F.lit("c0").alias("commit"),
+        F.col("mime").alias("lang"),
+        F.col("extracted").alias("content"),
+    ).drop("path_id")
+    idx = build_index(spark, corpus, IndexConfig())
+    n_binary = extracted.filter(F.col("extracted").isNull()).count()
+    n_degraded = idx.docs_store.filter(F.col("meta_only")).count()
+    assert n_degraded == n_binary > 0
+    # a term that exists ONLY via html extraction ("T&T" -> tokens t, t)
+    # plus corpus terms: search a body word, get html/xml/plain docs only
+    page = search(idx, "cdata", k=50)
+    langs = {r["lang"] for r in page.collect()}
+    assert langs == {"text/xml"}  # "raw cdata 42" is the XML CDATA wrap
+    # binary-mime docs remain path/metadata-searchable (S10)
+    got = (idx.docs_store.filter(F.col("meta_only")).select("lang")
+           .distinct().collect())
+    assert {r["lang"] for r in got} >= {"image/png"}
