@@ -41,23 +41,39 @@ def _raw_tokens(col) -> Column:
     return tokenize_expr(col, stopwords=())
 
 
+# BPE-ish pre-tokenizer (the public GPT-2 pattern, Radford et al. 2019,
+# minus its `\s+(?!\S)` lookahead — RE2 has no lookahead, and this chain
+# must run identically under Java regex (Spark) and RE2 (DuckDB)):
+# contractions, letter runs, digit runs, punctuation runs, each
+# optionally absorbing one leading space. Whitespace itself never counts
+# as a token, which is what an LLM token-budget estimate wants anyway.
+_BPE_RE = r"'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+"
+
+
 def token_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """(doc_id, n_tokens, n_ws): analyzer tokens vs whitespace words."""
+    """(doc_id, n_tokens, n_ws, n_bpe): analyzer tokens, whitespace
+    words, and a BPE-ish pre-tokenizer count (the training-data token
+    budget estimator — counts GPT-2-style pre-merge pieces; actual BPE
+    merges only ever reduce it, so it upper-bounds the LLM token cost)."""
     t = F.coalesce(F.col(text_col), F.lit(""))
     n_tokens = F.size(tokenize_expr(t))
     n_ws = F.when(F.trim(t) == "", F.lit(0)).otherwise(
         F.size(F.split(F.trim(t), r"\s+")))
-    return docs.select("doc_id", n_tokens.alias("n_tokens"), n_ws.alias("n_ws"))
+    n_bpe = F.size(F.regexp_extract_all(t, F.lit(_BPE_RE), 0))
+    return docs.select("doc_id", n_tokens.alias("n_tokens"),
+                       n_ws.alias("n_ws"), n_bpe.alias("n_bpe"))
 
 
 def token_counts_sql() -> str:
     tok = tokenize_duckdb_sql("text")
     stop = ", ".join(f"'{w}'" for w in LUCENE_STOPWORDS)
+    bpe = _BPE_RE.replace("'", "''")
     return f"""
 SELECT doc_id,
        len(list_filter({tok}, t -> t <> '' AND t NOT IN ({stop}))) AS n_tokens,
        CASE WHEN trim(coalesce(text, '')) = '' THEN 0
-            ELSE len(string_split_regex(trim(coalesce(text, '')), '\\s+')) END AS n_ws
+            ELSE len(string_split_regex(trim(coalesce(text, '')), '\\s+')) END AS n_ws,
+       len(regexp_extract_all(coalesce(text, ''), '{bpe}')) AS n_bpe
 FROM documents
 """
 
