@@ -162,6 +162,21 @@ def _q_topk_physical(spark: SparkSession, sf_dir: str) -> DataFrame:
     return search_blockmax(_index_physical(spark, sf_dir), "spark join merge", k=10)
 
 
+def _q_cached_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Serving-layer queryResultCache (operators/caches.py; Solr's
+    solrconfig.xml:478-481): the page is served from the CACHED window —
+    the first call populates, the second is the LRU hit whose rows go
+    under the same full BM25 oracle as fts_topk_physical (bit-identical
+    slicing of the deterministic total order)."""
+    from easy_solr4files_index_spark.operators.caches import SearcherCaches
+
+    caches = SearcherCaches(_index_physical(spark, sf_dir))
+    caches.search("spark join merge", k=10)           # populate
+    page = caches.search_df("spark join merge", k=10)  # LRU hit
+    assert caches.results.hits >= 1
+    return page
+
+
 def _index_maint(spark: SparkSession, sf_dir: str, mode: str):
     """Physical index after an INCREMENTAL maintenance op (never a rebuild):
     mode 'del' tombstones repo src0; mode 'ups' delete-before-inserts repo
@@ -755,6 +770,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out = {name: _mk_search(p) for name, p in _EXTRA_SEARCHES.items()}
     out.update({
         "mm_decode_stub": _q_mm_decode,
+        # serving-layer cache (new operator, beyond the §2 table): the
+        # cached page under the same BM25 oracle as fts_topk_physical
+        "fts_cached_topk": _q_cached_topk,
         "fts_numfound": _q_numfound,
         "fts_delete_prefix": _q_delete_prefix,
         "meta_vocab_join": _q_meta_vocab_join,
@@ -795,6 +813,7 @@ def oracle_sql() -> dict[str, str]:
     out["fts_sha256"] = osql.sha256_sql()
     out["fts_delete_prefix"] = osql.delete_prefix_sql("src0")
     out["fts_topk_physical"] = osql.bm25_topk_sql(tokenize_py("spark join merge"), k=10)
+    out["fts_cached_topk"] = osql.bm25_topk_sql(tokenize_py("spark join merge"), k=10)
     out["fts_topk_arrow_tok"] = osql.bm25_topk_sql(tokenize_py("table scan"), k=10)
     out["fts_delete_physical"] = osql.bm25_all_matches_sql(
         tokenize_py("spark"), ingest_where="source <> 'src0'")

@@ -105,6 +105,32 @@ def run_suite(sf_dir: str, cpus: int) -> dict:
         p95_core7 = core7_times[min(len(core7_times) - 1,
                                     int(0.95 * len(core7_times)))]
 
+        # serving-layer caches (operators/caches.py — Solr's
+        # filterCache/queryResultCache analog): a populate pass, then the
+        # measured pass answers every query from the LRU'd window rows
+        # (no Spark job), and one filtered query re-runs against the
+        # persisted fq DocSet (filterCache hit, result cache bypassed)
+        from .operators.caches import SearcherCaches
+        caches = SearcherCaches(idx)
+        for text, k, skip, filters in BENCH_QUERIES.values():
+            caches.search(text, k=k, skip=skip, filters=filters)
+        cached_times = []
+        for text, k, skip, filters in BENCH_QUERIES.values():
+            t0 = time.perf_counter()
+            caches.search(text, k=k, skip=skip, filters=filters)
+            cached_times.append(time.perf_counter() - t0)
+        cached_times.sort()
+        cached_p95 = cached_times[min(len(cached_times) - 1,
+                                      int(0.95 * len(cached_times)))]
+        fq_text, fq_k, fq_skip, fq_filters = BENCH_QUERIES["q4_filtered"]
+        fq_ds = caches.filter_docset(fq_filters)
+        fq_times = []
+        for _ in range(QUERY_REPS):
+            t0 = time.perf_counter()
+            search_blockmax(idx, fq_text, k=fq_k, skip=fq_skip,
+                            filters=fq_filters, fq_docset=fq_ds).collect()
+            fq_times.append(time.perf_counter() - t0)
+
         qps = run_concurrent_queries(idx)
 
         upsert = run_incremental(spark, docs, index_dir, build_s)
@@ -150,6 +176,11 @@ def run_suite(sf_dir: str, cpus: int) -> dict:
             # operators: exact-scoring phrase/boolean, a different
             # execution family, not a regression of the WAND path)
             "query_p95_core7_sec": round(p95_core7, 4),
+            # repeated-query serving path: queryResultCache hit (rows
+            # from the driver LRU, no Spark job) / fq re-run against the
+            # persisted filterCache DocSet
+            "query_cached_p95_ms": round(cached_p95 * 1000, 3),
+            "q4_fqcache_sec": round(min(fq_times), 4),
             "cpus": cpus,
             **qps,
             **upsert,

@@ -1,0 +1,168 @@
+"""Solr's serving-layer caches, re-expressed for the Spark engine.
+
+The reference serves every query through three searcher-scoped caches
+(solrconfig.xml:465-492): a ``filterCache`` of DocSets (the doc-id set
+matching an fq), a ``queryResultCache`` of ordered doc-id pages keyed by
+(query, sort, requested range), and a ``documentCache`` of stored
+fields.  Result pages are cached in windows — the requested range is
+rounded up to ``queryResultWindowSize=20`` rows (solrconfig.xml:588) so
+neighbouring pages of the same query hit the same entry, and ranges
+deeper than ``queryResultMaxDocsCached=200`` are never cached
+(solrconfig.xml:593).  A commit opens a *new searcher* whose caches
+start cold (``autowarmCount="0"`` in the reference config).
+
+The Spark mapping:
+
+- a *searcher* is one opened ``PhysicalIndex`` state — maintenance ops
+  return a fresh ``open_index`` (new generation / tombstones / n_docs),
+  so the cache key carries that state and entries from a superseded
+  state are unreachable (and evicted LRU-style);
+- the **queryResultCache** stores the collected page rows (≤ 200 tiny
+  rows per entry — driver-heap-sized at any corpus scale, exactly like
+  Solr's DocList of ids+scores);
+- the **filterCache** stores the fq DocSet as a *persisted* narrow
+  ``doc_id`` DataFrame — the executor-memory analog of Solr's DocSet
+  bitset, reused below the scoring aggregate by every query that repeats
+  the filter, and unpersisted on eviction.
+
+At 100 TB the shapes hold: pages are k-sized, and a DocSet DataFrame is
+one narrow column partitioned across the cluster — the cache holds
+references and plans on the driver, never corpus-scale data.
+"""
+
+from __future__ import annotations
+
+import json
+from collections import OrderedDict
+from typing import Callable
+
+from pyspark.sql import DataFrame
+from pyspark.storagelevel import StorageLevel
+
+from .postings import PhysicalIndex
+from .wand import search_blockmax
+
+QUERY_RESULT_WINDOW = 20    # solrconfig.xml:588
+QUERY_RESULT_MAX_DOCS = 200  # solrconfig.xml:593
+CACHE_SIZE = 512             # solrconfig.xml:466,479,489
+
+
+class _LRU:
+    """Plain LRU with an eviction callback (the reference uses
+    LRUCache/FastLRUCache with size=512; hit/miss counters mirror the
+    cache stats Solr exposes on its admin handler)."""
+
+    def __init__(self, size: int, on_evict: Callable | None = None):
+        self.size, self.on_evict = size, on_evict
+        self._d: OrderedDict = OrderedDict()
+        self.hits = self.misses = 0
+
+    def get(self, key):
+        if key in self._d:
+            self._d.move_to_end(key)
+            self.hits += 1
+            return self._d[key]
+        self.misses += 1
+        return None
+
+    def put(self, key, value) -> None:
+        self._d[key] = value
+        self._d.move_to_end(key)
+        while len(self._d) > self.size:
+            _, old = self._d.popitem(last=False)
+            if self.on_evict is not None:
+                self.on_evict(old)
+
+    def __len__(self) -> int:
+        return len(self._d)
+
+
+def _canon(filters: dict | None) -> str:
+    if not filters:
+        return ""
+    return json.dumps({k: sorted(v) for k, v in sorted(filters.items())},
+                      separators=(",", ":"))
+
+
+class SearcherCaches:
+    """filterCache + queryResultCache for one (or successive) opened
+    index states. Safe to keep across maintenance: the searcher key
+    (generation, n_docs, tombstones) changes with the index, so stale
+    entries can never be returned — they age out of the LRU."""
+
+    def __init__(self, index: PhysicalIndex,
+                 result_size: int = CACHE_SIZE,
+                 filter_size: int = CACHE_SIZE):
+        self.index = index
+        self.results = _LRU(result_size)
+        self.filters = _LRU(filter_size, on_evict=lambda df: df.unpersist())
+
+    def rebind(self, index: PhysicalIndex) -> None:
+        """Point the caches at a new searcher (post-maintenance reopen).
+        Old-state entries become unreachable and age out LRU-style —
+        Solr's autowarmCount=0 cold-start, without dropping entries the
+        new state may still share (none, since the key changed)."""
+        self.index = index
+
+    def _searcher_key(self) -> tuple:
+        ix = self.index
+        return (ix.index_dir, ix.generation, ix.n_docs, ix.tombstones)
+
+    # -- filterCache ------------------------------------------------------
+    def filter_docset(self, filters: dict | None) -> DataFrame | None:
+        """The persisted doc_id DocSet for an fq, built once per searcher
+        state and reused below the scoring aggregate of every query that
+        repeats the filter (Solr filterCache semantics: fq sets are
+        cached independently of the main query)."""
+        if not filters:
+            return None
+        key = (self._searcher_key(), _canon(filters))
+        ds = self.filters.get(key)
+        if ds is None:
+            from .query import _filters_expr  # shared canonical fq predicate
+            ds = (self.index.docs_store.filter(_filters_expr(filters))
+                  .select("doc_id")
+                  .persist(StorageLevel.MEMORY_AND_DISK))
+            self.filters.put(key, ds)
+        return ds
+
+    # -- queryResultCache -------------------------------------------------
+    def search(self, text: str | None = None, k: int = 10, skip: int = 0,
+               filters: dict | None = None, round_score: int | None = 4,
+               synonyms: dict[str, list[str]] | None = None) -> list:
+        """Cached top-k page (the rows of ``search_blockmax`` with the
+        same arguments — bit-identical: the underlying total order is
+        deterministic, so slicing a longer cached window prefix equals
+        re-running with offset/limit).
+
+        Returns the page as collected ROWS (Solr's DocList is likewise a
+        materialized id+score list); ``search_df`` wraps them back into a
+        DataFrame for the relational surface."""
+        k = k if isinstance(k, int) and k >= 1 else 10
+        skip = skip if isinstance(skip, int) and skip >= 0 else 0
+        upper = skip + k
+        if upper > QUERY_RESULT_MAX_DOCS:
+            # deep pages are never cached (solrconfig.xml:593)
+            return search_blockmax(self.index, text, k=k, skip=skip,
+                                   filters=filters, round_score=round_score,
+                                   synonyms=synonyms).collect()
+        window = -(-upper // QUERY_RESULT_WINDOW) * QUERY_RESULT_WINDOW
+        key = (self._searcher_key(), text, _canon(filters), round_score,
+               json.dumps(synonyms, sort_keys=True) if synonyms else "",
+               window)
+        rows = self.results.get(key)
+        if rows is None:
+            fq = self.filter_docset(filters)
+            rows = search_blockmax(self.index, text, k=window, skip=0,
+                                   filters=filters, round_score=round_score,
+                                   synonyms=synonyms, fq_docset=fq).collect()
+            self.results.put(key, rows)
+        return rows[skip:upper]
+
+    def search_df(self, text: str | None = None, k: int = 10, skip: int = 0,
+                  filters: dict | None = None, round_score: int | None = 4,
+                  synonyms: dict[str, list[str]] | None = None) -> DataFrame:
+        from .wand import _PAGE_SCHEMA
+        rows = self.search(text, k=k, skip=skip, filters=filters,
+                           round_score=round_score, synonyms=synonyms)
+        return self.index.spark.createDataFrame(rows, _PAGE_SCHEMA)

@@ -304,16 +304,22 @@ def _score_boolean_physical(index: PhysicalIndex, clauses,
 def search_blockmax(index: PhysicalIndex, text: str | None = None, k: int = 10,
                     skip: int = 0, filters: dict[str, list[str]] | None = None,
                     round_score: int | None = 4, prune: bool | None = None,
-                    synonyms: dict[str, list[str]] | None = None) -> DataFrame:
+                    synonyms: dict[str, list[str]] | None = None,
+                    fq_docset: DataFrame | None = None) -> DataFrame:
     """Top-k page over the physical index; result schema matches
     operators.query.search (doc_id, repo, path, lang, score).
 
     ``prune`` is tri-state: ``None`` (default) lets the measured cutover
     heuristic pick between the one-job exhaustive plan and the two-phase
     block-max pruned plan; ``True`` forces the pruned plan regardless of
-    index size; ``False`` forces the exhaustive plan."""
+    index size; ``False`` forces the exhaustive plan.
+
+    ``fq_docset``: an already-materialized doc_id DocSet for ``filters``
+    (the filterCache path, operators/caches.py) — substituted for the
+    fq semijoin input below the scoring aggregate; ``filters`` must
+    still be passed (the match-all/store paths and validation use it)."""
     page, _ = _blockmax(index, text, k, skip, filters, round_score, prune,
-                        synonyms, time_allowed_ms=None)
+                        synonyms, time_allowed_ms=None, fq_docset=fq_docset)
     return page
 
 
@@ -342,7 +348,8 @@ def search_budgeted(index: PhysicalIndex, text: str | None = None, k: int = 10,
 
 def _blockmax(index: PhysicalIndex, text: str | None, k: int, skip: int,
               filters, round_score: int | None, prune: bool | None, synonyms,
-              time_allowed_ms: float | None) -> tuple[DataFrame, bool]:
+              time_allowed_ms: float | None,
+              fq_docset: DataFrame | None = None) -> tuple[DataFrame, bool]:
     import time as _time
 
     t_start = _time.perf_counter()
@@ -367,8 +374,12 @@ def _blockmax(index: PhysicalIndex, text: str | None, k: int, skip: int,
 
     # fq pushdown: the doc_id-only filtered-store projection semijoins the
     # DECODED posting stream before the per-doc aggregate (_score_blocks) —
-    # scores are never computed for docs the fq excludes
-    fq_ids = store.select("doc_id") if filters else None
+    # scores are never computed for docs the fq excludes. A filterCache
+    # hit (operators/caches.py) substitutes its persisted DocSet here.
+    if fq_docset is not None:
+        fq_ids = fq_docset
+    else:
+        fq_ids = store.select("doc_id") if filters else None
 
     def topk(scored: DataFrame) -> DataFrame:
         # cut FIRST on the narrow (doc_id, score) stream (TakeOrdered —

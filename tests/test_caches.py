@@ -1,0 +1,114 @@
+"""Serving-layer caches (operators/caches.py — the engine's analog of
+Solr's filterCache / queryResultCache, solrconfig.xml:465-492): cached
+pages are bit-identical to uncached search, pagination shares window
+entries, deep pages bypass the cache, filters reuse one persisted
+DocSet, maintenance invalidates by searcher key, eviction unpersists."""
+
+from __future__ import annotations
+
+import pytest
+
+from easy_solr4files_index_spark.operators.caches import (
+    QUERY_RESULT_MAX_DOCS, SearcherCaches)
+from easy_solr4files_index_spark.operators.maintenance import (
+    delete_repo_physical)
+from easy_solr4files_index_spark.operators.postings import (
+    open_index, write_index)
+from easy_solr4files_index_spark.operators.index_build import IndexConfig
+from easy_solr4files_index_spark.operators.wand import search_blockmax
+from easy_solr4files_index_spark.sources.docs_source import synth_code_docs
+
+CFG = IndexConfig(bucket_span=64, term_buckets=8)
+
+
+@pytest.fixture(scope="module")
+def pidx(spark, tmp_path_factory):
+    docs = synth_code_docs(spark, n_docs=250, seed=31)
+    index_dir = str(tmp_path_factory.mktemp("fts_cache") / "index")
+    write_index(spark, docs, index_dir, CFG, lineage_groups=1)
+    return open_index(spark, index_dir)
+
+
+QUERIES = [
+    ("parse", 10, 0, None),
+    ("parse merge token", 10, 0, None),
+    ("query score", 10, 0, {"lang": ["java", "python"]}),
+    ("merge", 5, 7, None),
+    (None, 10, 2, {"lang": ["go"]}),
+    ("zzz_nonexistent_term", 10, 0, None),
+]
+
+
+@pytest.mark.parametrize("text,k,skip,filters", QUERIES)
+def test_cached_equals_uncached(pidx, text, k, skip, filters):
+    caches = SearcherCaches(pidx)
+    want = search_blockmax(pidx, text, k=k, skip=skip,
+                           filters=filters).collect()
+    cold = caches.search(text, k=k, skip=skip, filters=filters)
+    warm = caches.search(text, k=k, skip=skip, filters=filters)
+    assert cold == want == warm
+    assert caches.results.hits >= 1  # second call was a cache hit
+
+
+def test_pagination_shares_window(pidx):
+    """page 1 (k=10,skip=0) and page 2 (k=5,skip=10) round to the same
+    20-row window (queryResultWindowSize, solrconfig.xml:588): one miss,
+    then hits — and both slices match direct offset/limit search."""
+    caches = SearcherCaches(pidx)
+    p1 = caches.search("parse merge", k=10, skip=0)
+    assert (caches.results.misses, caches.results.hits) == (1, 0)
+    p2 = caches.search("parse merge", k=5, skip=10)
+    assert (caches.results.misses, caches.results.hits) == (1, 1)
+    assert p1 == search_blockmax(pidx, "parse merge", k=10).collect()
+    assert p2 == search_blockmax(pidx, "parse merge", k=5, skip=10).collect()
+
+
+def test_deep_pages_bypass(pidx):
+    """skip+k beyond queryResultMaxDocsCached=200 (solrconfig.xml:593)
+    is answered but never cached."""
+    caches = SearcherCaches(pidx)
+    got = caches.search("parse", k=10, skip=QUERY_RESULT_MAX_DOCS)
+    assert got == search_blockmax(pidx, "parse", k=10,
+                                  skip=QUERY_RESULT_MAX_DOCS).collect()
+    assert len(caches.results) == 0
+
+
+def test_filter_docset_reused(pidx):
+    """two different queries with the same fq hit ONE persisted DocSet
+    (Solr filterCache: fq sets cached independently of q)."""
+    caches = SearcherCaches(pidx)
+    f = {"lang": ["java", "python"]}
+    caches.search("parse", k=10, filters=f)
+    caches.search("merge token", k=10, filters=f)
+    assert len(caches.filters) == 1
+    assert caches.filters.hits == 1  # second query reused the DocSet
+    ds = caches.filter_docset(f)
+    assert ds.storageLevel.useMemory  # persisted, the DocSet analog
+
+
+def test_maintenance_invalidates(spark, tmp_path_factory):
+    """a delete returns a new searcher state; the same cache object
+    keyed on (generation, n_docs, tombstones) can never serve the old
+    page for the new state."""
+    docs = synth_code_docs(spark, n_docs=200, seed=32)
+    index_dir = str(tmp_path_factory.mktemp("fts_cache_inv") / "index")
+    write_index(spark, docs, index_dir, CFG, lineage_groups=1)
+    idx = open_index(spark, index_dir)
+    caches = SearcherCaches(idx)
+    before = caches.search("parse", k=10)
+    repo = before[0]["repo"]
+    idx2 = delete_repo_physical(spark, index_dir, repo, auto_compact=False)
+    caches.rebind(idx2)
+    after = caches.search("parse", k=10)
+    assert caches.results.misses == 2  # new searcher key -> cold
+    assert all(r["repo"] != repo for r in after)
+    assert after == search_blockmax(idx2, "parse", k=10).collect()
+
+
+def test_eviction_unpersists(pidx):
+    caches = SearcherCaches(pidx, filter_size=1)
+    ds1 = caches.filter_docset({"lang": ["java"]})
+    ds2 = caches.filter_docset({"lang": ["go"]})
+    assert len(caches.filters) == 1
+    assert not ds1.storageLevel.useMemory  # evicted -> unpersisted
+    assert ds2.storageLevel.useMemory
