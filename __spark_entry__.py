@@ -603,6 +603,18 @@ def _q_mm_decode(spark, sf_dir):
         multimodal.attach_binary_payload(_docs_raw(spark, sf_dir)))
 
 
+def _q_windowed_agg(spark, sf_dir):
+    """Watermarked tumbling-window aggregate (streaming/windowed.py) run
+    on the bounded events table — the SAME logical plan the streaming
+    query executes (withWatermark is a batch no-op), so the DuckDB
+    time_bucket twin checks the window semantics end-to-end; late-data
+    drop + append-once finalization are gated in
+    tests/test_streaming_windowed.py (not batch-expressible)."""
+    from easy_solr4files_index_spark.streaming.windowed import windowed_event_agg
+
+    return windowed_event_agg(spark.read.parquet(f"{sf_dir}/events.parquet"))
+
+
 def _q_mm_extract(spark, sf_dir):
     """S8 REAL content extraction for text mimes (the Tika-equivalent,
     Solr.scala:133-143): html/xml/plain payloads reduced to their visible
@@ -773,6 +785,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # serving-layer cache (new operator, beyond the §2 table): the
         # cached page under the same BM25 oracle as fts_topk_physical
         "fts_cached_topk": _q_cached_topk,
+        # streaming windowed agg, batch twin (late-data semantics are
+        # pytest-gated; the plan itself is fully SQL-expressible)
+        "str_windowed_agg": _q_windowed_agg,
         "fts_numfound": _q_numfound,
         "fts_delete_prefix": _q_delete_prefix,
         "meta_vocab_join": _q_meta_vocab_join,
@@ -927,4 +942,7 @@ SELECT repo, path, lang, content_md5 FROM g WHERE rn = 1
     out["dedup_embedding"] = similarity.embedding_near_dups_sql(threshold=0.4)
     out["mm_decode_stub"] = multimodal.decode_features_sql()
     out["mm_extract_text"] = multimodal.extract_text_sql()
+    from easy_solr4files_index_spark.streaming.windowed import (
+        windowed_event_agg_sql)
+    out["str_windowed_agg"] = windowed_event_agg_sql()
     return out
