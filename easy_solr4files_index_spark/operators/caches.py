@@ -33,6 +33,7 @@ references and plans on the driver, never corpus-scale data.
 from __future__ import annotations
 
 import json
+import threading
 from collections import OrderedDict
 from typing import Callable
 
@@ -48,33 +49,56 @@ CACHE_SIZE = 512             # solrconfig.xml:466,479,489
 
 
 class _LRU:
-    """Plain LRU with an eviction callback (the reference uses
-    LRUCache/FastLRUCache with size=512; hit/miss counters mirror the
-    cache stats Solr exposes on its admin handler)."""
+    """Thread-safe LRU with an eviction callback (the reference uses
+    the concurrent LRUCache/FastLRUCache with size=512 — a searcher
+    serves many request threads at once; hit/miss counters mirror the
+    cache stats Solr exposes on its admin handler).
+
+    No separate documentCache: Solr needs one because its DocList holds
+    bare ids that a second lookup resolves to stored fields; here the
+    stored-field join is fused INTO the page plan (wand._stored_fields_
+    page), so the queryResultCache entry already carries the complete
+    rendered rows and a per-doc cache would never be consulted."""
 
     def __init__(self, size: int, on_evict: Callable | None = None):
         self.size, self.on_evict = size, on_evict
         self._d: OrderedDict = OrderedDict()
+        self._lock = threading.Lock()
         self.hits = self.misses = 0
 
     def get(self, key):
-        if key in self._d:
-            self._d.move_to_end(key)
-            self.hits += 1
-            return self._d[key]
-        self.misses += 1
-        return None
+        with self._lock:
+            if key in self._d:
+                self._d.move_to_end(key)
+                self.hits += 1
+                return self._d[key]
+            self.misses += 1
+            return None
+
+    def peek(self, key):
+        """get() without touching the hit/miss stats (the double-checked
+        re-read under the build lock is not a second lookup)."""
+        with self._lock:
+            if key in self._d:
+                self._d.move_to_end(key)
+                return self._d[key]
+            return None
 
     def put(self, key, value) -> None:
-        self._d[key] = value
-        self._d.move_to_end(key)
-        while len(self._d) > self.size:
-            _, old = self._d.popitem(last=False)
-            if self.on_evict is not None:
+        evicted = []
+        with self._lock:
+            self._d[key] = value
+            self._d.move_to_end(key)
+            while len(self._d) > self.size:
+                evicted.append(self._d.popitem(last=False)[1])
+        # run callbacks outside the lock: unpersist() talks to the JVM
+        if self.on_evict is not None:
+            for old in evicted:
                 self.on_evict(old)
 
     def __len__(self) -> int:
-        return len(self._d)
+        with self._lock:
+            return len(self._d)
 
 
 def _canon(filters: dict | None) -> str:
@@ -96,6 +120,7 @@ class SearcherCaches:
         self.index = index
         self.results = _LRU(result_size)
         self.filters = _LRU(filter_size, on_evict=lambda df: df.unpersist())
+        self._build_lock = threading.Lock()  # one DocSet build per fq
 
     def rebind(self, index: PhysicalIndex) -> None:
         """Point the caches at a new searcher (post-maintenance reopen).
@@ -120,10 +145,13 @@ class SearcherCaches:
         ds = self.filters.get(key)
         if ds is None:
             from .query import _filters_expr  # shared canonical fq predicate
-            ds = (self.index.docs_store.filter(_filters_expr(filters))
-                  .select("doc_id")
-                  .persist(StorageLevel.MEMORY_AND_DISK))
-            self.filters.put(key, ds)
+            with self._build_lock:  # don't double-persist under races
+                ds = self.filters.peek(key)
+                if ds is None:
+                    ds = (self.index.docs_store.filter(_filters_expr(filters))
+                          .select("doc_id")
+                          .persist(StorageLevel.MEMORY_AND_DISK))
+                    self.filters.put(key, ds)
         return ds
 
     # -- queryResultCache -------------------------------------------------

@@ -105,6 +105,25 @@ def test_maintenance_invalidates(spark, tmp_path_factory):
     assert after == search_blockmax(idx2, "parse", k=10).collect()
 
 
+def test_concurrent_requests_share_one_docset(pidx):
+    """Solr searchers serve many request threads against one cache; the
+    LRU is locked and the DocSet build is double-checked, so a burst of
+    identical filtered queries produces identical pages and exactly one
+    persisted DocSet."""
+    import concurrent.futures as cf
+
+    caches = SearcherCaches(pidx)
+    f = {"lang": ["java"]}
+    with cf.ThreadPoolExecutor(8) as ex:
+        pages = list(ex.map(
+            lambda _: caches.search("parse merge", k=10, filters=f),
+            range(16)))
+    assert all(p == pages[0] for p in pages)
+    assert len(caches.filters) == 1
+    assert pages[0] == search_blockmax(pidx, "parse merge", k=10,
+                                       filters=f).collect()
+
+
 def test_eviction_unpersists(pidx):
     caches = SearcherCaches(pidx, filter_size=1)
     ds1 = caches.filter_docset({"lang": ["java"]})
