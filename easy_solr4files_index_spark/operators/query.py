@@ -170,6 +170,53 @@ def _tfnorm(tf_col: F.Column, dl_col: F.Column, k1: float, b: float,
             / (tf_col + k1 * (1.0 - b + b * dl_col / F.lit(avgdl))))
 
 
+# --- SQL-string twins of the hot query-plan builders -----------------------
+# Building a Column tree call-by-call costs one Py4J socket round-trip per
+# node (~0.2-1 ms each); on the latency-sensitive query path that adds up
+# to >100 ms of pure driver-side plan construction per query. These
+# helpers emit ONE SQL string parsed JVM-side by a single F.expr call —
+# the parsed plan is the same tree, so scores stay bit-identical (the
+# expression structure mirrors the Column builders above exactly).
+
+def _dlit(v: float) -> str:
+    """Exact double literal for Spark SQL. A bare float literal parses as
+    DECIMAL there; casting the repr (shortest round-trip decimal) through
+    Double.parseDouble reproduces the identical IEEE double."""
+    return f"CAST('{v!r}' AS DOUBLE)"
+
+
+def _sstr(s: str) -> str:
+    return "'" + s.replace("'", "''") + "'"
+
+
+def _tfnorm_sql(tf: str, dl: str, k1: float, b: float, avgdl: float) -> str:
+    """SQL twin of _tfnorm — same association order, same constants."""
+    avgdl = avgdl if avgdl > 0 else 1.0
+    return (f"({tf} * {_dlit(k1 + 1.0)} / ({tf} + {_dlit(k1)} * "
+            f"({_dlit(1.0 - b)} + {_dlit(b)} * {dl} / {_dlit(avgdl)})))")
+
+
+def _phrase_tf_sql(pmap: str, phrase: tuple[str, ...]) -> str:
+    """SQL twin of _phrase_tf (same higher-order filter expression)."""
+    def arr(t: str) -> str:
+        return (f"coalesce(element_at({pmap}, {_sstr(t)}), "
+                f"CAST(array() AS array<int>))")
+    conds = " AND ".join(
+        f"array_contains({arr(t)}, x + {i})"
+        for i, t in enumerate(phrase[1:], start=1)) or "true"
+    return f"size(filter({arr(phrase[0])}, x -> {conds}))"
+
+
+def _term_case_sql(mapping: dict[str, str], else_sql: str) -> str:
+    """CASE term WHEN ... END over a query-sized term map — one parsed
+    expression instead of a per-term F.when chain."""
+    if not mapping:
+        return else_sql
+    whens = " ".join(f"WHEN {_sstr(t)} THEN {sql}"
+                     for t, sql in mapping.items())
+    return f"CASE term {whens} ELSE {else_sql} END"
+
+
 def _phrase_tf(pmap: F.Column, phrase: tuple[str, ...]) -> F.Column:
     """Exact phrase frequency from per-term position arrays: the count of
     start positions x (of the first term) such that term_i sits at x+i
@@ -207,23 +254,25 @@ def score_phrase(positions: DataFrame, termstats_idf: DataFrame,
 
     uniq = sorted(set(phrase))
     mult = Counter(phrase)
-    pos = positions.filter(F.col("term").isin(uniq))
+    # one parsed expression per plan node (see the _tfnorm_sql comment):
+    # the SQL strings mirror the Column builders exactly
     per_doc = (
-        pos.groupBy("doc_id", "dl")
-        .agg(F.map_from_entries(
-                F.collect_list(F.struct("term", "positions"))).alias("pmap"),
-             F.count("*").alias("nt"))
-        .filter(F.col("nt") == len(uniq))
-        .withColumn("ptf", _phrase_tf(F.col("pmap"), phrase))
-        .filter(F.col("ptf") > 0)
+        positions.filter(F.col("term").isin(uniq))
+        .groupBy("doc_id", "dl")
+        .agg(F.expr("map_from_entries(collect_list(struct(term, positions)))"
+                    ).alias("pmap"),
+             F.expr("count(*)").alias("nt"))
+        .filter(f"nt = {len(uniq)}")
+        .withColumn("ptf", F.expr(_phrase_tf_sql("pmap", phrase)))
+        .filter("ptf > 0")
     )
     if phidf is not None:
         # caller already resolved Σ idf(term) driver-side (the physical
         # path collects the pruned per-term idf rows once per query) —
         # a literal multiply, no aggregate + broadcast-exchange stages
-        return per_doc.select(
-            "doc_id", (F.lit(float(phidf)) * _tfnorm(F.col("ptf"), F.col("dl"),
-                                                     k1, b, avgdl)).alias("contrib"))
+        contrib = (f"{_dlit(float(phidf))} * "
+                   + _tfnorm_sql("ptf", "dl", k1, b, avgdl))
+        return per_doc.selectExpr("doc_id", f"{contrib} AS contrib")
     mult_expr = F.lit(None).cast("double")
     for t, c in mult.items():
         mult_expr = F.when(F.col("term") == t, float(c)).otherwise(mult_expr)
@@ -306,17 +355,15 @@ def combine_clause_rows(parts: list[DataFrame], n_must: int,
     # gets its own cid — so a plain count replaces count_distinct, which
     # would plan as a SECOND aggregate exchange (partial-distinct pass)
     agg = u.groupBy("doc_id").agg(
-        F.sum(F.when(F.col("kind") != "must_not", F.col("contrib"))
-              .otherwise(0.0)).alias("score"),
-        F.count(F.when(F.col("kind") == "must", F.col("cid")))
-        .alias("musts_hit"),
-        F.max(F.when(F.col("kind") == "should", 1).otherwise(0)).alias("has_should"),
-        F.max(F.when(F.col("kind") == "must_not", 1).otherwise(0)).alias("prohibited"),
+        F.expr("sum(CASE WHEN kind != 'must_not' THEN contrib "
+               "ELSE CAST(0.0 AS DOUBLE) END)").alias("score"),
+        F.expr("count(CASE WHEN kind = 'must' THEN cid END)").alias("musts_hit"),
+        F.expr("max(CASE WHEN kind = 'should' THEN 1 ELSE 0 END)").alias("has_should"),
+        F.expr("max(CASE WHEN kind = 'must_not' THEN 1 ELSE 0 END)").alias("prohibited"),
     )
     matched = agg.filter(
-        (F.col("prohibited") == 0)
-        & (F.col("musts_hit") == n_must)
-        & (F.lit(n_must > 0) | (F.col("has_should") == 1)))
+        f"prohibited = 0 AND musts_hit = {n_must} AND "
+        f"({'true' if n_must > 0 else 'false'} OR has_should = 1)")
     return matched.select("doc_id", "score")
 
 

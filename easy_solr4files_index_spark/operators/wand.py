@@ -140,18 +140,21 @@ def _term_clause_rows(blocks: DataFrame, cmap: list[tuple[str, int, str]],
 
     decoded = blocks.select("term", "n", "doc_ids", "tfs", "dls", "idf").mapInPandas(
         kernel, "term string, doc_id long, contrib double")
+    from .query import _sstr, _term_case_sql
     by_term: dict[str, list[tuple[int, str]]] = {}
     for term, cid, kind in cmap:
         by_term.setdefault(term, []).append((cid, kind))
-    tag = F.lit(None).cast("array<struct<cid:int,kind:string>>")
-    for term, cks in by_term.items():
-        arr = F.array(*[F.struct(F.lit(cid).cast("int").alias("cid"),
-                                 F.lit(kind).alias("kind"))
-                        for cid, kind in cks])
-        tag = F.when(F.col("term") == term, arr).otherwise(tag)
-    return (decoded.select("doc_id", F.explode(tag).alias("ck"), "contrib")
-            .select("doc_id", F.col("ck.cid").alias("cid"),
-                    F.col("ck.kind").alias("kind"), "contrib"))
+    # one parsed CASE->array->explode expression (the per-term F.when/
+    # F.array/F.struct chain costs a Py4J round-trip per node)
+    tag = _term_case_sql(
+        {term: ("array(" + ", ".join(
+            f"named_struct('cid', CAST({cid} AS INT), 'kind', {_sstr(kind)})"
+            for cid, kind in cks) + ")")
+         for term, cks in by_term.items()},
+        "CAST(NULL AS array<struct<cid:int,kind:string>>)")
+    return (decoded.selectExpr("doc_id", f"explode({tag}) AS ck", "contrib")
+            .selectExpr("doc_id", "ck.cid AS cid", "ck.kind AS kind",
+                        "contrib"))
 
 
 # Stored-field fetch strategy cutover (bytes of docs_store on disk).
@@ -198,6 +201,17 @@ def _stored_fields_page(index: PhysicalIndex, page_narrow: DataFrame) -> DataFra
             .orderBy(*order).select(*cols))
 
 
+def _prune_pred_sql(terms: list[str], term_buckets: int) -> str:
+    """`tbucket IN (...) AND term IN (...)` as ONE SQL string (a single
+    parsed filter call; the Column form costs ~6 Py4J round-trips) —
+    same predicate, same partition/row-group pruning."""
+    from .query import _sstr
+    tbs = sorted({term_bucket(t, term_buckets) for t in terms})
+    tlist = ", ".join(_sstr(t) for t in sorted(set(terms)))
+    return (f"tbucket IN ({', '.join(str(b) for b in tbs)}) "
+            f"AND term IN ({tlist})")
+
+
 def _pruned_blocks(index: PhysicalIndex, terms: list[str]) -> DataFrame:
     """Term/tbucket-pruned postings blocks with Lucene idf joined IN-PLAN
     from the equally-pruned termstats scan — the shared front of every
@@ -208,12 +222,10 @@ def _pruned_blocks(index: PhysicalIndex, terms: list[str]) -> DataFrame:
     row-group stats). Keeping idf in-plan (vs collecting df first) saves
     a driver round-trip — the single broadcast feeds everything."""
     cfg = index.config
-    tbuckets = sorted({term_bucket(t, cfg.term_buckets) for t in terms})
-    ts = (index.termstats
-          .filter(F.col("tbucket").isin(tbuckets) & F.col("term").isin(terms))
+    pred = _prune_pred_sql(terms, cfg.term_buckets)
+    ts = (index.termstats.filter(pred)
           .withColumn("idf", _idf_expr(index.n_docs)))
-    return (index.postings
-            .filter(F.col("tbucket").isin(tbuckets) & F.col("term").isin(terms))
+    return (index.postings.filter(pred)
             .join(F.broadcast(ts.select("term", "idf")), "term"))
 
 
@@ -274,30 +286,31 @@ def _score_boolean_physical(index: PhysicalIndex, clauses,
 
     parts: list[DataFrame] = []
     if term_clauses:
+        from .query import _dlit, _term_case_sql
         qterms = sorted({c.terms[0] for _, c in term_clauses})
-        qtb = sorted({term_bucket(t, cfg.term_buckets) for t in qterms})
-        idf_expr = F.lit(None).cast("double")
-        for t in qterms:
-            if t in idf_map:
-                idf_expr = F.when(F.col("term") == t, idf_map[t]).otherwise(idf_expr)
+        # one parsed CASE expression instead of a per-term F.when chain
+        # (each chain node is a Py4J round-trip — see query._tfnorm_sql)
+        idf_expr = F.expr(_term_case_sql(
+            {t: _dlit(idf_map[t]) for t in qterms if t in idf_map},
+            "CAST(NULL AS DOUBLE)"))
         blocks = (index.postings
-                  .filter(F.col("tbucket").isin(qtb) & F.col("term").isin(qterms))
+                  .filter(_prune_pred_sql(qterms, cfg.term_buckets))
                   .withColumn("idf", idf_expr))
         cmap = [(c.terms[0], i, c.occur) for i, c in term_clauses]
         parts.append(_term_clause_rows(blocks, cmap, cfg.k1, cfg.b,
                                        index.avgdl, index.tombstones))
     if phrase_clauses:
         pterms = sorted({t for _, c in phrase_clauses for t in c.terms})
-        ptb = sorted({term_bucket(t, cfg.term_buckets) for t in pterms})
         pos = index.positions.filter(
-            F.col("tbucket").isin(ptb) & F.col("term").isin(pterms))
+            _prune_pred_sql(pterms, cfg.term_buckets))
         for i, c in phrase_clauses:
             # Lucene PhraseQuery idf: Σ over the term SEQUENCE (dups count)
             phidf = sum(idf_map.get(t, 0.0) for t in c.terms)
             ph = score_phrase(pos, None, c.terms, cfg.k1, cfg.b,
                               index.avgdl, phidf=phidf)
-            parts.append(ph.select("doc_id", F.lit(i).alias("cid"),
-                                   F.lit(c.occur).alias("kind"), "contrib"))
+            from .query import _sstr as _q
+            parts.append(ph.selectExpr("doc_id", f"{i} AS cid",
+                                       f"{_q(c.occur)} AS kind", "contrib"))
     return combine_clause_rows(parts, n_must, fq_ids)
 
 
