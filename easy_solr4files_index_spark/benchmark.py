@@ -788,6 +788,20 @@ def run_pipeline(cpus: int, n_docs: int = 200_000, dim: int = 32,
         out["pq_batch_qps"] = round(n_queries / out["pq_batch_rerank_sec"], 1)
         out["pq_batch_recall_at10"] = _recall(pq_search_rerank_batch(
             codes, emb, qdf, ivfpq.books, k=10, shortlist=50))
+
+        # batch-DataFrame IVFADC: cell-pruned scan + in-kernel probe/LUTs
+        from .functions.ivfpq import ivfpq_search_batch
+        times = []
+        for _ in range(search_reps):
+            t0 = time.perf_counter()
+            n_ib = ivfpq_search_batch(ivfpq, emb, qdf, k=10, nprobe=8,
+                                      shortlist=50).count()
+            times.append(time.perf_counter() - t0)
+        out["ivfpq_batch_sec"] = round(min(times), 2)
+        out["ivfpq_batch_rows"] = n_ib
+        out["ivfpq_batch_qps"] = round(n_queries / out["ivfpq_batch_sec"], 1)
+        out["ivfpq_batch_recall_at10"] = _recall(ivfpq_search_batch(
+            ivfpq, emb, qdf, k=10, nprobe=8, shortlist=50))
     finally:
         spark.stop()
         for d in tmp_dirs:
@@ -814,6 +828,7 @@ same VM-noise caveats as every harness here).
 | ivfpq_search (ADC shortlist 50 + exact re-rank) | {p['ivfpq_search_sec']} | {p['ivfpq_search_qps']} q/s | {p.get('ivfpq_recall_at10', '—')} |
 | ivfpq_search quality point (nprobe 24, shortlist 300) | {p.get('ivfpq_hq_search_sec', '—')} | {p.get('ivfpq_hq_qps', '—')} q/s | {p.get('ivfpq_hq_recall_at10', '—')} |
 | pq_search_rerank_batch (batch-DataFrame ADC path) | {p['pq_batch_rerank_sec']} | {p['pq_batch_qps']} q/s | {p.get('pq_batch_recall_at10', '—')} |
+| ivfpq_search_batch (batch-DataFrame IVFADC: pruned cells + in-kernel probe/LUTs) | {p.get('ivfpq_batch_sec', '—')} | {p.get('ivfpq_batch_qps', '—')} q/s | {p.get('ivfpq_batch_recall_at10', '—')} |
 
 Recall@10 is measured against the exact cosine top-10 of the same
 100-query batch. The synthetic vectors are deterministic pseudo-random

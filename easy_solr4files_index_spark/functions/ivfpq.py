@@ -174,3 +174,156 @@ def ivfpq_search(index: IvfPqIndex, emb: DataFrame,
     return (rerank.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
             .select("query_id", "neighbor_id", "cos", "rank"))
+
+
+def ivfpq_search_batch(index: IvfPqIndex, emb: DataFrame,
+                       queries_df: DataFrame, k: int = 5,
+                       nprobe: int | None = None,
+                       shortlist: int | None = None,
+                       query_chunk: int = 512,
+                       vec_col: str = "embedding",
+                       id_col: str = "vec_id") -> DataFrame:
+    """Batch-scale IVFADC: ``ivfpq_search`` with the query side a
+    DataFrame end-to-end — the 10⁵-query corpus-vs-corpus shape
+    (VERDICT r03 #4, closing the last per-query-driver-work ANN path).
+
+    ``queries_df`` is (query_id long, qv array<numeric>). The query
+    matrix ships as ONE Spark broadcast; every per-query structure the
+    per-query path built on the driver — probe-cell sets and m×ksub ADC
+    LUTs — is derived IN-KERNEL, vectorized over query chunks:
+
+      * probe cells: cos(query, centroid) for a chunk is one matmul
+        against the broadcast (normalized) centroid matrix; a STABLE
+        argsort over columns pre-sorted by centroid_id reproduces
+        probe_cells' exact (cos desc, centroid_id asc) tie-break;
+      * cell restriction: the chunk's allowed (chunk × n_centroids)
+        boolean mask indexes the batch's centroid column — a candidate
+        scores for a query only if its cell is probed BY THAT query
+        (true IVFADC semantics, same as the per-query kernel);
+      * ADC: LUTs once per task for all queries, d2 per chunk via the
+        same sum-of-subspace-lookups as pq_search_batch, self matches
+        masked, tie-INCLUSIVE per-partition cut at the shortlist-th
+        smallest (the deterministic global window resolves ties).
+
+    The driver's only per-query work is one vectorized matmul to take
+    the UNION of probe cells for the static `centroid_id IN (...)`
+    partition filter — the pruning predicate must exist at plan time.
+    Exactness gate: nprobe = n_centroids AND shortlist ≥ corpus is
+    rank-identical to brute-force cosine_topk (pytest + driver oracle
+    via ann_batch_rerank's pattern); lossy dials match the per-query
+    ivfpq_search row-for-row on tie-free data (tests/test_pq.py)."""
+    ivf = index.ivf
+    nprobe = ivf.n_centroids if nprobe is None else min(nprobe, ivf.n_centroids)
+    shortlist = 4 * k if shortlist is None else shortlist
+
+    books = [np.asarray(b, dtype=np.float64) for b in index.books]
+    m = len(books)
+    dsub = books[0].shape[1]
+
+    crows = ivf.centroids.select("centroid_id",
+                                 _as_double(F.col("cv")).alias("cv")).collect()
+    crows.sort(key=lambda r: int(r["centroid_id"]))  # stable tie-break order
+    cent_ids = np.array([int(r["centroid_id"]) for r in crows], dtype=np.int64)
+    cmat = np.stack([np.asarray(list(r["cv"]), dtype=np.float64) for r in crows])
+    cnorm = np.linalg.norm(cmat, axis=1, keepdims=True)
+    cnorm[cnorm == 0] = 1.0
+    cmat_n = cmat / cnorm
+
+    qpdf = (queries_df.select("query_id", _as_double(F.col("qv")).alias("qv"))
+            .toPandas())
+    qids = qpdf["query_id"].to_numpy(np.int64)
+    qmat = np.stack(qpdf["qv"].to_numpy()).astype(np.float64)
+    qn = np.linalg.norm(qmat, axis=1, keepdims=True)
+    qn[qn == 0] = 1.0
+    qmat = qmat / qn
+
+    def _probe_rows(qm: np.ndarray) -> np.ndarray:
+        """(rows × nprobe) centroid COLUMN indices, probe_cells order."""
+        cos = qm @ cmat_n.T
+        # columns are centroid_id-ascending, so a stable descending sort
+        # breaks cos ties toward the lower centroid_id — probe_cells' order
+        return np.argsort(-cos, axis=1, kind="stable")[:, :nprobe]
+
+    # driver-side: ONLY the union of probed cells (the plan-time
+    # partition-pruning predicate) — one matmul, no per-query loop
+    cells = sorted({int(cent_ids[c])
+                    for c in np.unique(_probe_rows(qmat).ravel())})
+
+    sc = queries_df.sparkSession.sparkContext
+    bq = sc.broadcast((qids, qmat))
+    bb = sc.broadcast(books)
+    bc = sc.broadcast(cent_ids)
+    bcm = sc.broadcast(cmat_n)
+
+    def kernel(batches):
+        import pandas as pd
+        qids_, qmat_ = bq.value
+        books_, cent_ids_, cmat_n_ = bb.value, bc.value, bcm.value
+        nq = len(qids_)
+        luts = [(((qmat_[:, None, j * dsub:(j + 1) * dsub]
+                   - books_[j][None, :, :]) ** 2).sum(axis=2))
+                for j in range(m)]
+        # per-chunk probe masks (chunk × n_centroids), computed once per
+        # task — same stable argsort as the driver's pruning union
+        allowed_chunks = {}
+        for lo in range(0, nq, query_chunk):
+            hi = min(lo + query_chunk, nq)
+            cos = qmat_[lo:hi] @ cmat_n_.T
+            top = np.argsort(-cos, axis=1, kind="stable")[:, :nprobe]
+            al = np.zeros((hi - lo, cent_ids_.shape[0]), dtype=bool)
+            np.put_along_axis(al, top, True, axis=1)
+            allowed_chunks[lo] = al
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            codes_np = np.stack(pdf["codes"].to_numpy()).astype(np.int64)
+            ids = pdf["vec_id"].to_numpy()
+            ccol = np.searchsorted(cent_ids_, pdf["centroid_id"].to_numpy())
+            out_q, out_n, out_d = [], [], []
+            for lo in range(0, nq, query_chunk):
+                hi = min(lo + query_chunk, nq)
+                d2 = luts[0][lo:hi][:, codes_np[:, 0]].copy()
+                for j in range(1, m):
+                    d2 += luts[j][lo:hi][:, codes_np[:, j]]
+                mask = allowed_chunks[lo][:, ccol]  # per-query cell gate
+                d2[~mask] = np.inf
+                d2[qids_[lo:hi, None] == ids[None, :]] = np.inf
+                n = ids.shape[0]
+                if n > shortlist:
+                    thresh = np.partition(
+                        d2, shortlist - 1, axis=1)[:, shortlist - 1:shortlist]
+                    keep = (d2 <= thresh) & np.isfinite(d2)
+                else:
+                    keep = np.isfinite(d2)
+                qi, ci = np.nonzero(keep)
+                out_q.append(qids_[lo + qi])
+                out_n.append(ids[ci])
+                out_d.append(d2[qi, ci])
+            if out_q:
+                yield pd.DataFrame({"query_id": np.concatenate(out_q),
+                                    "neighbor_id": np.concatenate(out_n),
+                                    "d2": np.concatenate(out_d)})
+
+    pruned = (index.cells_codes.filter(F.col("centroid_id").isin(cells))
+              .select("vec_id", "codes", "centroid_id"))
+    cand = pruned.mapInPandas(
+        kernel, "query_id long, neighbor_id long, d2 double")
+    wq = Window.partitionBy("query_id").orderBy(F.col("d2").asc(),
+                                                F.col("neighbor_id").asc())
+    short = (cand.withColumn("rn", F.row_number().over(wq))
+             .filter(F.col("rn") <= shortlist)
+             .select("query_id", "neighbor_id"))
+
+    qdf = queries_df.select("query_id", _as_double(F.col("qv")).alias("qv"))
+    raw = emb.select(F.col(id_col).alias("neighbor_id"),
+                     _as_double(F.col(vec_col)).alias("v"))
+    rerank = (short.join(raw, "neighbor_id")
+              .join(F.broadcast(qdf), "query_id")
+              .withColumn("cos", F.round(
+                  _dot(F.col("qv"), F.col("v"))
+                  / (_norm(F.col("qv")) * _norm(F.col("v"))), 6)))
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(),
+                                               F.col("neighbor_id").asc())
+    return (rerank.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "cos", "rank"))

@@ -182,3 +182,36 @@ def test_ivfpq_pruned_recall(spark, emb, brute, tmp_path):
     rows = ivfpq.ivfpq_search(idx, emb, QIDS, k=5, nprobe=4,
                               shortlist=50).collect()
     assert _recall(rows, brute) >= 0.5
+
+
+def test_ivfpq_batch_exact_gate_and_matches_per_query(spark, emb, brute,
+                                                      tmp_path):
+    """ivfpq_search_batch (the DataFrame-query IVFADC path): at
+    nprobe=all + shortlist >= corpus it is rank-identical to brute
+    force, and at lossy dials it matches the per-query kernel
+    row-for-row (the in-kernel stable-argsort probe reproduces
+    probe_cells' (cos desc, centroid_id asc) tie-break; random floats
+    make residual cos ties vanishingly unlikely)."""
+    from easy_solr4files_index_spark.functions import ivfpq
+    from easy_solr4files_index_spark.functions.ivf import queries_from_emb
+
+    d = str(tmp_path / "ivfpq_b")
+    idx = ivfpq.ivfpq_build(spark, emb, d, n_centroids=8, m=4, ksub=16)
+    qdf = queries_from_emb(emb, QIDS).selectExpr("query_id", "qv")
+    n = emb.count()
+
+    exact = ivfpq.ivfpq_search_batch(idx, emb, qdf, k=5, nprobe=8,
+                                     shortlist=n)
+    assert {(r["query_id"], r["neighbor_id"], r["rank"])
+            for r in exact.collect()} == brute
+
+    lossy_b = ivfpq.ivfpq_search_batch(idx, emb, qdf, k=5, nprobe=4,
+                                       shortlist=50)
+    lossy_pq = ivfpq.ivfpq_search(idx, emb, QIDS, k=5, nprobe=4,
+                                  shortlist=50)
+    key = lambda r: (r["query_id"], r["rank"])
+    got_b = sorted(((r["query_id"], r["neighbor_id"], r["cos"], r["rank"])
+                    for r in lossy_b.collect()))
+    got_q = sorted(((r["query_id"], r["neighbor_id"], r["cos"], r["rank"])
+                    for r in lossy_pq.collect()))
+    assert got_b == got_q
