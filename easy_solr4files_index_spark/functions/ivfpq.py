@@ -153,15 +153,26 @@ def ivfpq_search(index: IvfPqIndex, emb: DataFrame,
               .select("vec_id", "codes", "centroid_id"))
     cand = pruned.mapInPandas(
         kernel, "query_id long, neighbor_id long, d2 double")
+    qdf = (emb.filter(F.col(id_col).isin(query_ids))
+           .select(F.col(id_col).alias("query_id"),
+                   _as_double(F.col(vec_col)).alias("qv")))
+    return _shortlist_rerank(cand, qdf, emb, k, shortlist, vec_col, id_col)
+
+
+def _shortlist_rerank(cand: DataFrame, qdf: DataFrame, emb: DataFrame,
+                      k: int, shortlist: int, vec_col: str,
+                      id_col: str) -> DataFrame:
+    """Shared IVFADC tail (per-query and batch kernels): global
+    (d2, neighbor_id) shortlist window over the per-partition ADC
+    candidates → exact-cosine re-rank of the shortlist against raw
+    vectors → deterministic (cos desc, neighbor_id asc) rank ≤ k.
+    One home so the tie-break/rounding/schema can never diverge
+    between the two kernels (their row-parity is pytest-gated)."""
     wq = Window.partitionBy("query_id").orderBy(F.col("d2").asc(),
                                                 F.col("neighbor_id").asc())
     short = (cand.withColumn("rn", F.row_number().over(wq))
              .filter(F.col("rn") <= shortlist)
              .select("query_id", "neighbor_id"))
-
-    qdf = (emb.filter(F.col(id_col).isin(query_ids))
-           .select(F.col(id_col).alias("query_id"),
-                   _as_double(F.col(vec_col)).alias("qv")))
     raw = emb.select(F.col(id_col).alias("neighbor_id"),
                      _as_double(F.col(vec_col)).alias("v"))
     rerank = (short.join(raw, "neighbor_id")
@@ -188,26 +199,27 @@ def ivfpq_search_batch(index: IvfPqIndex, emb: DataFrame,
     (VERDICT r03 #4, closing the last per-query-driver-work ANN path).
 
     ``queries_df`` is (query_id long, qv array<numeric>). The query
-    matrix ships as ONE Spark broadcast; every per-query structure the
-    per-query path built on the driver — probe-cell sets and m×ksub ADC
-    LUTs — is derived IN-KERNEL, vectorized over query chunks:
+    matrix ships as ONE Spark broadcast; the ADC LUTs are derived
+    IN-KERNEL, vectorized over query chunks:
 
-      * probe cells: cos(query, centroid) for a chunk is one matmul
-        against the broadcast (normalized) centroid matrix; a STABLE
-        argsort over columns pre-sorted by centroid_id reproduces
-        probe_cells' exact (cos desc, centroid_id asc) tie-break;
+      * probe cells are computed ONCE, on the driver (a single
+        vectorized matmul — no per-query Python loop): a STABLE argsort
+        over centroid_id-ordered columns reproduces probe_cells' exact
+        (cos desc, centroid_id asc) tie-break. The same (nq × nprobe)
+        matrix feeds the plan-time `centroid_id IN (...)` partition
+        filter AND, broadcast, the kernel's per-query cell masks — one
+        computation, so the pruned scan and the in-kernel gate can never
+        disagree (a recompute could diverge in the last ulp at a cos
+        tie and silently drop a probed cell's candidates);
       * cell restriction: the chunk's allowed (chunk × n_centroids)
         boolean mask indexes the batch's centroid column — a candidate
         scores for a query only if its cell is probed BY THAT query
-        (true IVFADC semantics, same as the per-query kernel);
+        (true IVFADC semantics, same as the per-query kernel); the
+        nprobe = n_centroids exactness dial skips masking entirely;
       * ADC: LUTs once per task for all queries, d2 per chunk via the
         same sum-of-subspace-lookups as pq_search_batch, self matches
         masked, tie-INCLUSIVE per-partition cut at the shortlist-th
         smallest (the deterministic global window resolves ties).
-
-    The driver's only per-query work is one vectorized matmul to take
-    the UNION of probe cells for the static `centroid_id IN (...)`
-    partition filter — the pruning predicate must exist at plan time.
     Exactness gate: nprobe = n_centroids AND shortlist ≥ corpus is
     rank-identical to brute-force cosine_topk (pytest + driver oracle
     via ann_batch_rerank's pattern); lossy dials match the per-query
@@ -237,42 +249,47 @@ def ivfpq_search_batch(index: IvfPqIndex, emb: DataFrame,
     qn[qn == 0] = 1.0
     qmat = qmat / qn
 
-    def _probe_rows(qm: np.ndarray) -> np.ndarray:
-        """(rows × nprobe) centroid COLUMN indices, probe_cells order."""
-        cos = qm @ cmat_n.T
-        # columns are centroid_id-ascending, so a stable descending sort
-        # breaks cos ties toward the lower centroid_id — probe_cells' order
-        return np.argsort(-cos, axis=1, kind="stable")[:, :nprobe]
-
-    # driver-side: ONLY the union of probed cells (the plan-time
-    # partition-pruning predicate) — one matmul, no per-query loop
-    cells = sorted({int(cent_ids[c])
-                    for c in np.unique(_probe_rows(qmat).ravel())})
+    # ONE probe computation, on the driver (a single vectorized matmul —
+    # no per-query Python), used for BOTH the plan-time partition-pruning
+    # union AND (broadcast) the kernel's per-query cell masks. Computing
+    # probes twice (driver for pruning, kernel for masking) could
+    # disagree in the last ulp near cos ties — a kernel-probed cell
+    # missing from the pruned scan would silently lose its candidates.
+    # Columns are centroid_id-ascending, so the stable descending sort
+    # breaks cos ties toward the lower centroid_id — probe_cells' order.
+    # nprobe = n_centroids (the exactness dial) needs no masks at all.
+    probe_cols = None
+    if nprobe < cent_ids.shape[0]:
+        cos_qc = qmat @ cmat_n.T
+        probe_cols = np.argsort(-cos_qc, axis=1, kind="stable")[:, :nprobe]
+        cells = sorted({int(cent_ids[c])
+                        for c in np.unique(probe_cols.ravel())})
+    else:
+        cells = [int(c) for c in cent_ids]
 
     sc = queries_df.sparkSession.sparkContext
     bq = sc.broadcast((qids, qmat))
     bb = sc.broadcast(books)
     bc = sc.broadcast(cent_ids)
-    bcm = sc.broadcast(cmat_n)
+    bp = sc.broadcast(probe_cols)  # (nq × nprobe) column idx, or None
 
     def kernel(batches):
         import pandas as pd
         qids_, qmat_ = bq.value
-        books_, cent_ids_, cmat_n_ = bb.value, bc.value, bcm.value
+        books_, cent_ids_, probe_ = bb.value, bc.value, bp.value
         nq = len(qids_)
         luts = [(((qmat_[:, None, j * dsub:(j + 1) * dsub]
                    - books_[j][None, :, :]) ** 2).sum(axis=2))
                 for j in range(m)]
-        # per-chunk probe masks (chunk × n_centroids), computed once per
-        # task — same stable argsort as the driver's pruning union
+        # per-chunk probe masks (chunk × n_centroids) expanded from the
+        # broadcast driver probe — the SAME probe the pruning used
         allowed_chunks = {}
-        for lo in range(0, nq, query_chunk):
-            hi = min(lo + query_chunk, nq)
-            cos = qmat_[lo:hi] @ cmat_n_.T
-            top = np.argsort(-cos, axis=1, kind="stable")[:, :nprobe]
-            al = np.zeros((hi - lo, cent_ids_.shape[0]), dtype=bool)
-            np.put_along_axis(al, top, True, axis=1)
-            allowed_chunks[lo] = al
+        if probe_ is not None:
+            for lo in range(0, nq, query_chunk):
+                hi = min(lo + query_chunk, nq)
+                al = np.zeros((hi - lo, cent_ids_.shape[0]), dtype=bool)
+                np.put_along_axis(al, probe_[lo:hi], True, axis=1)
+                allowed_chunks[lo] = al
         for pdf in batches:
             if not len(pdf):
                 continue
@@ -285,8 +302,8 @@ def ivfpq_search_batch(index: IvfPqIndex, emb: DataFrame,
                 d2 = luts[0][lo:hi][:, codes_np[:, 0]].copy()
                 for j in range(1, m):
                     d2 += luts[j][lo:hi][:, codes_np[:, j]]
-                mask = allowed_chunks[lo][:, ccol]  # per-query cell gate
-                d2[~mask] = np.inf
+                if probe_ is not None:  # per-query cell gate
+                    d2[~allowed_chunks[lo][:, ccol]] = np.inf
                 d2[qids_[lo:hi, None] == ids[None, :]] = np.inf
                 n = ids.shape[0]
                 if n > shortlist:
@@ -308,22 +325,5 @@ def ivfpq_search_batch(index: IvfPqIndex, emb: DataFrame,
               .select("vec_id", "codes", "centroid_id"))
     cand = pruned.mapInPandas(
         kernel, "query_id long, neighbor_id long, d2 double")
-    wq = Window.partitionBy("query_id").orderBy(F.col("d2").asc(),
-                                                F.col("neighbor_id").asc())
-    short = (cand.withColumn("rn", F.row_number().over(wq))
-             .filter(F.col("rn") <= shortlist)
-             .select("query_id", "neighbor_id"))
-
     qdf = queries_df.select("query_id", _as_double(F.col("qv")).alias("qv"))
-    raw = emb.select(F.col(id_col).alias("neighbor_id"),
-                     _as_double(F.col(vec_col)).alias("v"))
-    rerank = (short.join(raw, "neighbor_id")
-              .join(F.broadcast(qdf), "query_id")
-              .withColumn("cos", F.round(
-                  _dot(F.col("qv"), F.col("v"))
-                  / (_norm(F.col("qv")) * _norm(F.col("v"))), 6)))
-    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(),
-                                               F.col("neighbor_id").asc())
-    return (rerank.withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= k)
-            .select("query_id", "neighbor_id", "cos", "rank"))
+    return _shortlist_rerank(cand, qdf, emb, k, shortlist, vec_col, id_col)

@@ -130,6 +130,14 @@ _RE_TAG = r"<[^>]*>"
 _RE_WS = r"\s+"
 
 
+def _gate_expr(payload, mime):
+    """The ONE extraction-gate predicate (64 MiB size cap + mime
+    allowlist, Solr.scala:59-61) — shared by extract_text_expr (decides
+    NULL) and extract_text (reports the ``gated`` column) so the two can
+    never drift apart."""
+    return (F.length(payload) > MAX_DECODE_BYTES) | ~mime.isin(*MIME_ALLOWLIST)
+
+
 def _strip_markup_expr(col, html: bool):
     if html:
         col = F.regexp_replace(col, _RE_SCRIPT, " ")
@@ -154,7 +162,7 @@ def extract_text_expr(payload=None, mime=None):
     payload = F.col("payload") if payload is None else payload
     mime = F.col("mime") if mime is None else mime
     raw = F.decode(payload, "UTF-8")
-    gated = (F.length(payload) > MAX_DECODE_BYTES) | ~mime.isin(*MIME_ALLOWLIST)
+    gated = _gate_expr(payload, mime)
     return (F.when(gated, F.lit(None).cast("string"))
              .when(mime == "text/html", _strip_markup_expr(raw, html=True))
              .when(mime == "text/xml", _strip_markup_expr(raw, html=False))
@@ -214,12 +222,10 @@ def extract_text(with_payload: DataFrame) -> DataFrame:
     operator over a binary-payload table. Entirely JVM-side: one
     projection, no shuffle, no Python — at 100 TB this pipelines inside
     the scan stage that reads the payloads."""
-    gated = ((F.length(F.col("payload")) > MAX_DECODE_BYTES)
-             | ~F.col("mime").isin(*MIME_ALLOWLIST))
     return with_payload.select(
         "doc_id", "mime",
         F.length(F.col("payload")).alias("byte_len"),
-        gated.alias("gated"),
+        _gate_expr(F.col("payload"), F.col("mime")).alias("gated"),
         extract_text_expr().alias("extracted"))
 
 

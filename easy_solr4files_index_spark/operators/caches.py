@@ -37,8 +37,10 @@ import threading
 from collections import OrderedDict
 from typing import Callable
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Row
 from pyspark.storagelevel import StorageLevel
+
+_PageRow = Row("doc_id", "repo", "path", "lang", "score")
 
 from .postings import PhysicalIndex
 from .wand import search_blockmax
@@ -96,9 +98,28 @@ class _LRU:
             for old in evicted:
                 self.on_evict(old)
 
+    def clear(self) -> None:
+        with self._lock:
+            dropped = list(self._d.values())
+            self._d.clear()
+        if self.on_evict is not None:
+            for old in dropped:
+                self.on_evict(old)
+
     def __len__(self) -> int:
         with self._lock:
             return len(self._d)
+
+
+def _round_half_up(x: float, scale: int) -> float:
+    """Exact driver-side twin of Catalyst's Round on DoubleType:
+    BigDecimal(Double.toString(x)).setScale(scale, HALF_UP). Python's
+    repr is the same shortest round-trip decimal as Double.toString, so
+    quantizing it HALF_UP reproduces F.round bit-for-bit."""
+    import decimal
+    q = decimal.Decimal(1).scaleb(-scale)
+    return float(decimal.Decimal(repr(x)).quantize(
+        q, rounding=decimal.ROUND_HALF_UP))
 
 
 def _canon(filters: dict | None) -> str:
@@ -123,11 +144,19 @@ class SearcherCaches:
         self._build_lock = threading.Lock()  # one DocSet build per fq
 
     def rebind(self, index: PhysicalIndex) -> None:
-        """Point the caches at a new searcher (post-maintenance reopen).
-        Old-state entries become unreachable and age out LRU-style —
-        Solr's autowarmCount=0 cold-start, without dropping entries the
-        new state may still share (none, since the key changed)."""
+        """Point the caches at a new searcher (post-maintenance reopen) —
+        Solr's autowarmCount=0 cold-start. Old entries are DROPPED, not
+        left to age out: their keys (old generation/tombstones) can never
+        be looked up again, and an unreachable filterCache entry would
+        otherwise strand its persisted DocSet in executor storage for up
+        to 512 evictions — a leak across maintenance cycles."""
         self.index = index
+        self.clear()
+
+    def clear(self) -> None:
+        """Drop every cached entry, unpersisting the filter DocSets."""
+        self.filters.clear()
+        self.results.clear()
 
     def _searcher_key(self) -> tuple:
         ix = self.index
@@ -158,10 +187,19 @@ class SearcherCaches:
     def search(self, text: str | None = None, k: int = 10, skip: int = 0,
                filters: dict | None = None, round_score: int | None = 4,
                synonyms: dict[str, list[str]] | None = None) -> list:
-        """Cached top-k page (the rows of ``search_blockmax`` with the
-        same arguments — bit-identical: the underlying total order is
-        deterministic, so slicing a longer cached window prefix equals
-        re-running with offset/limit).
+        """Cached top-k page — bit-identical to ``search_blockmax`` with
+        the same arguments, page-boundary rounding collisions included.
+
+        The direct path cuts the page by UNROUNDED score (the
+        deterministic total order) and only then rounds + re-sorts the
+        page rows (wand.topk → _stored_fields_page). A window cached
+        already-rounded would re-sort across the page boundary: two
+        distinct raw scores that round equal straddling rank skip+k
+        would swap membership vs the direct cut. So the cache stores the
+        UNROUNDED window (its order IS the cut order — slicing it equals
+        offset/limit), and the slice is rounded + re-sorted here with an
+        exact driver-side twin of F.round (HALF_UP over the shortest
+        round-trip decimal — BigDecimal(Double.toString) semantics).
 
         Returns the page as collected ROWS (Solr's DocList is likewise a
         materialized id+score list); ``search_df`` wraps them back into a
@@ -170,22 +208,34 @@ class SearcherCaches:
         skip = skip if isinstance(skip, int) and skip >= 0 else 0
         upper = skip + k
         if upper > QUERY_RESULT_MAX_DOCS:
-            # deep pages are never cached (solrconfig.xml:593)
+            # deep pages skip the queryResultCache (solrconfig.xml:593)
+            # but still ride the filterCache — Solr's DocSets serve every
+            # fq regardless of the requested range
             return search_blockmax(self.index, text, k=k, skip=skip,
                                    filters=filters, round_score=round_score,
-                                   synonyms=synonyms).collect()
+                                   synonyms=synonyms,
+                                   fq_docset=self.filter_docset(filters)
+                                   ).collect()
         window = -(-upper // QUERY_RESULT_WINDOW) * QUERY_RESULT_WINDOW
-        key = (self._searcher_key(), text, _canon(filters), round_score,
+        key = (self._searcher_key(), text, _canon(filters),
                json.dumps(synonyms, sort_keys=True) if synonyms else "",
                window)
         rows = self.results.get(key)
         if rows is None:
             fq = self.filter_docset(filters)
             rows = search_blockmax(self.index, text, k=window, skip=0,
-                                   filters=filters, round_score=round_score,
+                                   filters=filters, round_score=None,
                                    synonyms=synonyms, fq_docset=fq).collect()
             self.results.put(key, rows)
-        return rows[skip:upper]
+        page = rows[skip:upper]
+        if round_score is None:
+            return page
+        rounded = [_PageRow(r["doc_id"], r["repo"], r["path"], r["lang"],
+                            _round_half_up(r["score"], round_score))
+                   for r in page]
+        # the direct path re-sorts the PAGE by (rounded score, doc_id)
+        rounded.sort(key=lambda r: (-r["score"], r["doc_id"]))
+        return rounded
 
     def search_df(self, text: str | None = None, k: int = 10, skip: int = 0,
                   filters: dict | None = None, round_score: int | None = 4,

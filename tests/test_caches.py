@@ -124,6 +124,38 @@ def test_concurrent_requests_share_one_docset(pidx):
                                        filters=f).collect()
 
 
+def test_round_half_up_matches_catalyst(spark):
+    """_round_half_up must reproduce F.round on doubles bit-for-bit —
+    it is what makes a cached unrounded-window slice identical to the
+    direct page (including page-boundary rounding collisions)."""
+    from easy_solr4files_index_spark.operators.caches import _round_half_up
+
+    vals = [0.12345, 0.123449999999, 2.675, 0.00005, 1.0, 0.0,
+            5.19625, 0.99995, 3.00004999999, 123.456789, 7e-05,
+            0.1234500000000001, 1.5e-300]
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    from pyspark.sql import functions as F
+    want = [r["r"] for r in df.select(F.round("x", 4).alias("r")).collect()]
+    got = [_round_half_up(v, 4) for v in vals]
+    assert got == want
+
+
+def test_rebind_unpersists_old_docsets(spark, tmp_path_factory):
+    """rebind drops the old searcher's entries outright (autowarm=0
+    cold-start) — persisted DocSets must not survive as unreachable
+    executor-storage leaks."""
+    docs = synth_code_docs(spark, n_docs=120, seed=33)
+    index_dir = str(tmp_path_factory.mktemp("fts_cache_rb") / "index")
+    write_index(spark, docs, index_dir, CFG, lineage_groups=1)
+    idx = open_index(spark, index_dir)
+    caches = SearcherCaches(idx)
+    ds = caches.filter_docset({"lang": ["java"]})
+    assert ds.storageLevel.useMemory
+    caches.rebind(open_index(spark, index_dir))
+    assert len(caches.filters) == 0 and len(caches.results) == 0
+    assert not ds.storageLevel.useMemory  # unpersisted on rebind
+
+
 def test_eviction_unpersists(pidx):
     caches = SearcherCaches(pidx, filter_size=1)
     ds1 = caches.filter_docset({"lang": ["java"]})
