@@ -86,6 +86,42 @@ def test_parity_vs_duckdb(spark):
     assert got == want
 
 
+def test_parity_on_adversarial_markup(spark):
+    """Seeded random markup soup — nested/unclosed tags, half-written
+    entities, CDATA fragments, comment edges — must extract identically
+    under Java regex (Spark) and RE2 (DuckDB): the chain is restricted
+    to the syntax subset both engines implement the same way, and this
+    guards that claim beyond the fixed wrap templates."""
+    import random
+
+    rng = random.Random(42)
+    frags = ["<p>", "</p>", "<P class='x'>", "<script>", "</script>",
+             "<style>", "</style>", "<!--", "-->", "<![CDATA[", "]]>",
+             "&amp;", "&lt;", "&gt;", "&nbsp;", "&#39;", "&amp;lt;",
+             "&bogus;", "&", "<", ">", "tok", "Wort", "42", " ", "\t",
+             "\n", "a<b", "x > y", "<x", "<>", "]]", "<!", "'", '"']
+    rows = []
+    for i in range(200):
+        s = "".join(rng.choice(frags) for _ in range(rng.randint(1, 25)))
+        rows.append((i, "text/html" if i % 2 else "text/xml",
+                     bytearray(s, "utf-8")))
+    df = spark.createDataFrame(rows, "doc_id long, mime string, payload binary")
+    got = sorted((r["doc_id"], r["extracted"])
+                 for r in mm.extract_text(df).collect())
+
+    con = duckdb.connect()
+    from easy_solr4files_index_spark.functions.multimodal import (
+        _strip_markup_sql)
+    want = []
+    for i, mime, payload in rows:
+        s = payload.decode("utf-8")
+        chain = _strip_markup_sql("s", html=(mime == "text/html"))
+        v = con.execute(f"SELECT {chain} FROM (SELECT ? AS s)",
+                        [s]).fetchone()[0]
+        want.append((i, v))
+    assert got == sorted(want)
+
+
 def test_extracted_corpus_indexes_end_to_end(spark):
     """S8 -> S9/S10/E2 composition: the extractor's output feeds the
     index build directly; html body terms are searchable, binary-mime
