@@ -43,7 +43,7 @@ from pyspark.storagelevel import StorageLevel
 _PageRow = Row("doc_id", "repo", "path", "lang", "score")
 
 from .postings import PhysicalIndex
-from .wand import search_blockmax
+from .wand import search_blockmax, search_with_found
 
 QUERY_RESULT_WINDOW = 20    # solrconfig.xml:588
 QUERY_RESULT_MAX_DOCS = 200  # solrconfig.xml:593
@@ -227,15 +227,59 @@ class SearcherCaches:
                                    filters=filters, round_score=None,
                                    synonyms=synonyms, fq_docset=fq).collect()
             self.results.put(key, rows)
+        return self._slice(rows, skip, upper, round_score)
+
+    @staticmethod
+    def _slice(rows: list, skip: int, upper: int,
+               round_score: int | None) -> list:
+        """Cut the UNROUNDED cached window exactly like the direct path:
+        slice the deterministic total order, then round + re-sort the
+        page rows by (rounded score, doc_id)."""
         page = rows[skip:upper]
         if round_score is None:
             return page
         rounded = [_PageRow(r["doc_id"], r["repo"], r["path"], r["lang"],
                             _round_half_up(r["score"], round_score))
                    for r in page]
-        # the direct path re-sorts the PAGE by (rounded score, doc_id)
         rounded.sort(key=lambda r: (-r["score"], r["doc_id"]))
         return rounded
+
+    def search_found(self, text: str | None = None, k: int = 10,
+                     skip: int = 0, filters: dict | None = None,
+                     round_score: int | None = 4,
+                     synonyms: dict[str, list[str]] | None = None,
+                     ) -> tuple[list, int]:
+        """Cached (page rows, numFound) — Solr's queryResultCache entry
+        is a DocList that CARRIES the match total (DocList.matches()), so
+        a repeated envelope request is served entirely from cache. The
+        miss path is ONE exhaustive traversal (search_with_found) whose
+        unrounded window also seeds the plain page cache — a later
+        search() with the same query hits without re-scoring."""
+        k = k if isinstance(k, int) and k >= 1 else 10
+        skip = skip if isinstance(skip, int) and skip >= 0 else 0
+        upper = skip + k
+        if upper > QUERY_RESULT_MAX_DOCS:
+            page_df, found = search_with_found(
+                self.index, text, k=k, skip=skip, filters=filters,
+                round_score=round_score, synonyms=synonyms,
+                fq_docset=self.filter_docset(filters))
+            return page_df.collect(), found
+        window = -(-upper // QUERY_RESULT_WINDOW) * QUERY_RESULT_WINDOW
+        base = (self._searcher_key(), text, _canon(filters),
+                json.dumps(synonyms, sort_keys=True) if synonyms else "",
+                window)
+        hit = self.results.get(("found",) + base)
+        if hit is None:
+            fq = self.filter_docset(filters)
+            page_df, found = search_with_found(
+                self.index, text, k=window, skip=0, filters=filters,
+                round_score=None, synonyms=synonyms, fq_docset=fq)
+            rows = page_df.collect()
+            hit = (rows, found)
+            self.results.put(("found",) + base, hit)
+            self.results.put(base, rows)  # seed the page cache too
+        rows, found = hit
+        return self._slice(rows, skip, upper, round_score), found
 
     def search_df(self, text: str | None = None, k: int = 10, skip: int = 0,
                   filters: dict | None = None, round_score: int | None = 4,

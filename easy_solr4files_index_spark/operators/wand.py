@@ -499,6 +499,7 @@ def search_with_found(index: PhysicalIndex, text: str | None = None,
                       filters: dict[str, list[str]] | None = None,
                       round_score: int | None = 4,
                       synonyms: dict[str, list[str]] | None = None,
+                      fq_docset: DataFrame | None = None,
                       ) -> tuple[DataFrame, int]:
     """(page, found) from ONE scoring traversal — the reference's envelope
     ALWAYS carries numFound alongside the page (Solr.scala:91-103,
@@ -531,7 +532,10 @@ def search_with_found(index: PhysicalIndex, text: str | None = None,
     terms = sorted(set(plain_terms(clauses)))
     empty = (index.docs_store.withColumn("score", F.lit(0.0))
              .select("doc_id", "repo", "path", "lang", "score").limit(0))
-    fq_ids = store.select("doc_id") if filters else None
+    if fq_docset is not None:  # filterCache DocSet (operators/caches.py)
+        fq_ids = fq_docset
+    else:
+        fq_ids = store.select("doc_id") if filters else None
     if boolean:
         if not any(c.occur in ("should", "must") for c in clauses):
             return empty, 0

@@ -105,6 +105,33 @@ def test_maintenance_invalidates(spark, tmp_path_factory):
     assert after == search_blockmax(idx2, "parse", k=10).collect()
 
 
+def test_search_found_cached_envelope(pidx):
+    """Solr's DocList carries numFound: the cached envelope returns the
+    exact (page, found) of search_with_found, the repeat is a pure cache
+    hit, and the miss seeds the plain page cache (a later search() with
+    the same query re-scores nothing)."""
+    from easy_solr4files_index_spark.operators.wand import search_with_found
+
+    caches = SearcherCaches(pidx)
+    want_df, want_found = search_with_found(pidx, "parse merge", k=10)
+    want = want_df.collect()
+    rows1, found1 = caches.search_found("parse merge", k=10)
+    rows2, found2 = caches.search_found("parse merge", k=10)
+    assert rows1 == want == rows2
+    assert found1 == want_found == found2
+    assert caches.results.hits >= 1
+    # the envelope miss seeded the page cache: plain search() is a hit
+    hits_before = caches.results.hits
+    page = caches.search("parse merge", k=10)
+    assert caches.results.hits == hits_before + 1
+    assert page == search_blockmax(pidx, "parse merge", k=10).collect()
+    # filtered + paginated envelope, same contracts
+    f = {"lang": ["java", "python"]}
+    wdf, wf = search_with_found(pidx, "parse", k=5, skip=5, filters=f)
+    rows3, found3 = caches.search_found("parse", k=5, skip=5, filters=f)
+    assert rows3 == wdf.collect() and found3 == wf
+
+
 def test_concurrent_requests_share_one_docset(pidx):
     """Solr searchers serve many request threads against one cache; the
     LRU is locked and the DocSet build is double-checked, so a burst of
