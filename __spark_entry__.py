@@ -588,6 +588,53 @@ def _q_ann_ivfpq(spark, sf_dir):
                               nprobe=8, shortlist=1 << 20)
 
 
+def _q_ann_ivf_append(spark, sf_dir):
+    """ANN incremental add (functions/ivf.py:ivf_append): index built on
+    the first 300 vectors, the rest APPENDED against the frozen
+    centroids — file-layout-equivalent to a rebuild over the union, so
+    the exact-dial search hash-matches the brute-force cosine oracle
+    over the FULL table (append==rebuild at any nprobe is pytest-gated
+    in tests/test_ann_maintenance.py)."""
+    import tempfile
+
+    from easy_solr4files_index_spark.functions import ivf as ivfm
+
+    emb = _emb(spark, sf_dir)
+    key = (id(spark), sf_dir, "ivf_append")
+    if key not in _INDEX_CACHE:
+        d = tempfile.mkdtemp(prefix="ivf_append_entry_")
+        idx = ivfm.ivf_build(spark, emb.filter(F.col("vec_id") < 300), d,
+                             n_centroids=8)
+        ivfm.ivf_append(idx, emb.filter(F.col("vec_id") >= 300))
+        _INDEX_CACHE[key] = idx
+    return ivfm.ivf_search(_INDEX_CACHE[key],
+                           ivfm.queries_from_emb(emb, [0, 1, 2]),
+                           k=5, nprobe=8)
+
+
+def _q_ann_ivf_delete(spark, sf_dir):
+    """ANN incremental delete + compact (ivf_delete/ivf_compact):
+    tombstoned vectors stop matching immediately and compact rewrites
+    only touched cells — the search hash-matches the cosine oracle with
+    the victims excluded (untouched-partition byte-identity is
+    pytest-gated)."""
+    import tempfile
+
+    from easy_solr4files_index_spark.functions import ivf as ivfm
+
+    emb = _emb(spark, sf_dir)
+    key = (id(spark), sf_dir, "ivf_del")
+    if key not in _INDEX_CACHE:
+        d = tempfile.mkdtemp(prefix="ivf_del_entry_")
+        idx = ivfm.ivf_build(spark, emb, d, n_centroids=8)
+        ivfm.ivf_delete(idx, [11, 12, 13])
+        ivfm.ivf_compact(idx)
+        _INDEX_CACHE[key] = idx
+    return ivfm.ivf_search(_INDEX_CACHE[key],
+                           ivfm.queries_from_emb(emb, [0, 1, 2]),
+                           k=5, nprobe=8)
+
+
 def _q_ann_ivfpq_batch(spark, sf_dir):
     """Batch-DataFrame IVFADC (ivfpq_search_batch): the query table goes
     through ONE broadcast, probe cells + ADC LUTs derived in-kernel per
@@ -808,6 +855,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # batch-DataFrame IVFADC (⊃ ann_ivfpq_topk's oracle; the batch
         # kernel's lossy-dial parity is pytest-gated)
         "ann_ivfpq_batch": _q_ann_ivfpq_batch,
+        # ANN incremental maintenance (append / delete+compact)
+        "ann_ivf_append": _q_ann_ivf_append,
+        "ann_ivf_delete": _q_ann_ivf_delete,
         "fts_numfound": _q_numfound,
         "fts_delete_prefix": _q_delete_prefix,
         "meta_vocab_join": _q_meta_vocab_join,
@@ -957,6 +1007,9 @@ SELECT repo, path, lang, content_md5 FROM g WHERE rn = 1
     out["ann_pq_rerank"] = similarity.cosine_topk_sql([0, 1, 2], k=5)
     out["ann_ivfpq_topk"] = similarity.cosine_topk_sql([0, 1, 2], k=5)
     out["ann_ivfpq_batch"] = similarity.cosine_topk_sql([0, 1, 2], k=5)
+    out["ann_ivf_append"] = similarity.cosine_topk_sql([0, 1, 2], k=5)
+    out["ann_ivf_delete"] = similarity.cosine_topk_sql(
+        [0, 1, 2], k=5, exclude_ids=[11, 12, 13])
     # batch path at shortlist >= corpus == brute force over 100 queries
     out["ann_batch_rerank"] = similarity.cosine_topk_sql(list(range(100)), k=3)
     out["ann_signlsh_buckets"] = similarity.signlsh_buckets_sql(n_planes=4)

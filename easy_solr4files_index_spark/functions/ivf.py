@@ -58,10 +58,28 @@ class IvfIndex:
         """(centroid_id int, cv array<double>) — tiny, broadcast side."""
         return self.spark.read.parquet(os.path.join(self.index_dir, "centroids"))
 
+    def tombstones(self) -> DataFrame | None:
+        """Deleted vec_ids (ivf_delete), or None if none pending."""
+        p = os.path.join(self.index_dir, "tombstones")
+        if not os.path.isdir(p):
+            return None
+        return self.spark.read.parquet(p)
+
+    def _minus_tombstones(self, df: DataFrame) -> DataFrame:
+        t = self.tombstones()
+        if t is None:
+            return df
+        # broadcast anti-join: the tombstone set is delete-batch-sized
+        # (compact folds it back to zero), never corpus-sized
+        return df.join(F.broadcast(t.select("vec_id")), "vec_id", "left_anti")
+
     @property
     def cells(self) -> DataFrame:
-        """(vec_id, v, centroid_id) partitioned by centroid_id on disk."""
-        return self.spark.read.parquet(os.path.join(self.index_dir, "cells"))
+        """(vec_id, v, centroid_id) partitioned by centroid_id on disk,
+        minus pending tombstones — every consumer (ivf_search, the
+        IVFADC code join) sees deletes immediately."""
+        return self._minus_tombstones(
+            self.spark.read.parquet(os.path.join(self.index_dir, "cells")))
 
 
 def ivf_build(spark: SparkSession, emb: DataFrame, index_dir: str,
@@ -84,23 +102,9 @@ def ivf_build(spark: SparkSession, emb: DataFrame, index_dir: str,
     cent.coalesce(1).write.mode("overwrite").parquet(
         os.path.join(index_dir, "centroids"))
 
-    corpus = emb.select(F.col(id_col).alias("vec_id"),
-                        _as_double(F.col(vec_col)).alias("v"))
-    acos = _dot(F.col("cv"), F.col("v")) / (_norm(F.col("cv")) * _norm(F.col("v")))
-    # argmax by (acos desc, centroid_id asc) as ONE map-side-combinable
-    # max_by aggregate: the k×|corpus| crossJoin rows collapse to one row
-    # per vector inside each map task, so the exchange carries |corpus|
-    # rows — the earlier Window.partitionBy(vec_id) row_number shuffled
-    # and SORTED all k×|corpus| rows for the same answer.
-    key = F.struct(F.col("acos").alias("a"),
-                   (-F.col("centroid_id")).alias("c"))
-    assign = (corpus.crossJoin(F.broadcast(
-                  spark.read.parquet(os.path.join(index_dir, "centroids"))))
-              .withColumn("acos", acos)
-              .groupBy("vec_id")
-              .agg(F.max_by(F.struct("centroid_id", "v"), key).alias("best"))
-              .select("vec_id", F.col("best.v").alias("v"),
-                      F.col("best.centroid_id").alias("centroid_id")))
+    assign = _assign_to_centroids(
+        emb, spark.read.parquet(os.path.join(index_dir, "centroids")),
+        vec_col=vec_col, id_col=id_col)
     (assign.repartition("centroid_id")
      .write.mode("overwrite").partitionBy("centroid_id")
      .parquet(os.path.join(index_dir, "cells")))
@@ -111,6 +115,103 @@ def ivf_build(spark: SparkSession, emb: DataFrame, index_dir: str,
                    "kmeans_iters": int(kmeans_iters)}, fh)
     os.replace(tmp, os.path.join(index_dir, _META))
     return IvfIndex(spark, index_dir, int(n_centroids))
+
+
+def _assign_to_centroids(emb: DataFrame, centroids: DataFrame,
+                         vec_col: str = "embedding",
+                         id_col: str = "vec_id") -> DataFrame:
+    """(vec_id, v, centroid_id): nearest-centroid assignment as ONE
+    map-side-combinable max_by aggregate keyed (acos desc, centroid_id
+    asc) — the k×|corpus| crossJoin rows collapse to one row per vector
+    inside each map task, so the exchange carries |corpus| rows (the
+    earlier Window.partitionBy(vec_id) row_number shuffled and SORTED
+    all k×|corpus| rows for the same answer). Shared by the build pass
+    and incremental append, so an appended vector lands in exactly the
+    cell a rebuild would give it."""
+    corpus = emb.select(F.col(id_col).alias("vec_id"),
+                        _as_double(F.col(vec_col)).alias("v"))
+    acos = _dot(F.col("cv"), F.col("v")) / (_norm(F.col("cv")) * _norm(F.col("v")))
+    key = F.struct(F.col("acos").alias("a"),
+                   (-F.col("centroid_id")).alias("c"))
+    return (corpus.crossJoin(F.broadcast(centroids))
+            .withColumn("acos", acos)
+            .groupBy("vec_id")
+            .agg(F.max_by(F.struct("centroid_id", "v"), key).alias("best"))
+            .select("vec_id", F.col("best.v").alias("v"),
+                    F.col("best.centroid_id").alias("centroid_id")))
+
+
+def ivf_append(ivf: IvfIndex, new_emb: DataFrame,
+               vec_col: str = "embedding", id_col: str = "vec_id") -> IvfIndex:
+    """Incremental add: assign the new vectors against the FROZEN
+    centroid set (the standard IVF maintenance model — centroids move
+    only on an explicit retrain/rebuild) and APPEND them to their cell
+    partitions. Cost is O(|new|): existing cell files are never read or
+    rewritten — the ANN twin of the text index's O(bag) segment append
+    (operators/maintenance.py). Because the assignment rule is the
+    build's own (_assign_to_centroids), an appended index is
+    file-layout-equivalent to rebuilding over the union with the same
+    centroids: searches match rank-for-rank at ANY nprobe."""
+    assign = _assign_to_centroids(new_emb, ivf.centroids,
+                                  vec_col=vec_col, id_col=id_col)
+    (assign.repartition("centroid_id")
+     .write.mode("append").partitionBy("centroid_id")
+     .parquet(os.path.join(ivf.index_dir, "cells")))
+    return ivf
+
+
+def ivf_delete(ivf: IvfIndex, vec_ids: list[int]) -> IvfIndex:
+    """Incremental delete: append the ids to the tombstone set — O(|ids|),
+    no cell file is touched. Every reader (cells property) anti-joins
+    the tombstones, so deleted vectors stop matching immediately;
+    ivf_compact folds them into the layout."""
+    if not vec_ids:
+        return ivf
+    df = ivf.spark.createDataFrame([(int(v),) for v in sorted(set(vec_ids))],
+                                   "vec_id long")
+    df.coalesce(1).write.mode("append").parquet(
+        os.path.join(ivf.index_dir, "tombstones"))
+    return ivf
+
+
+def ivf_compact(ivf: IvfIndex,
+                codes_dataset: str | None = None) -> IvfIndex:
+    """Fold tombstones into the layout: rewrite ONLY the cell partitions
+    that contain a tombstoned vector (O(touched cells), untouched
+    partition files are left byte-identical — asserted in tests), then
+    drop the tombstone set. ``codes_dataset`` lets the IVFADC layer
+    compact its codes table with the same touched-cell pass."""
+    import shutil
+
+    t = ivf.tombstones()
+    if t is None:
+        return ivf
+    raw = ivf.spark.read.parquet(os.path.join(ivf.index_dir, "cells"))
+    touched = sorted(r["centroid_id"] for r in
+                     (raw.join(F.broadcast(t), "vec_id")
+                      .select("centroid_id").distinct().collect()))
+    datasets = ["cells"] + ([codes_dataset] if codes_dataset else [])
+    for name in datasets:
+        base = os.path.join(ivf.index_dir, name)
+        df = ivf.spark.read.parquet(base)
+        # localCheckpoint truncates lineage: the survivors no longer
+        # reference the source files about to be replaced
+        survivors = (df.filter(F.col("centroid_id").isin(touched))
+                     .join(F.broadcast(t), "vec_id", "left_anti")
+                     .localCheckpoint(eager=True))
+        for c in touched:
+            shutil.rmtree(os.path.join(base, f"centroid_id={c}"),
+                          ignore_errors=True)
+        # (on object storage this whole block is one dynamic partition
+        # overwrite; the explicit dir swap also covers cells whose every
+        # row was deleted, which dynamic overwrite would leave stale
+        # because no replacement rows exist)
+        (survivors.repartition("centroid_id")
+         .write.mode("append").partitionBy("centroid_id")
+         .parquet(base))
+    shutil.rmtree(os.path.join(ivf.index_dir, "tombstones"),
+                  ignore_errors=True)
+    return ivf
 
 
 def ivf_open(spark: SparkSession, index_dir: str) -> IvfIndex:

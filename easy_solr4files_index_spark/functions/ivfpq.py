@@ -79,9 +79,58 @@ class IvfPqIndex:
 
     @property
     def cells_codes(self) -> DataFrame:
-        """(vec_id, codes, centroid_id) partitioned by centroid_id."""
-        return self.ivf.spark.read.parquet(
-            os.path.join(self.ivf.index_dir, "cells_codes"))
+        """(vec_id, codes, centroid_id) partitioned by centroid_id,
+        minus pending tombstones (shared with the IVF layer — one
+        delete hides the vector from raw AND compressed scans)."""
+        return self.ivf._minus_tombstones(self.ivf.spark.read.parquet(
+            os.path.join(self.ivf.index_dir, "cells_codes")))
+
+
+def ivfpq_append(index: IvfPqIndex, new_emb: DataFrame,
+                 vec_col: str = "embedding",
+                 id_col: str = "vec_id") -> IvfPqIndex:
+    """Incremental add for the composed index: the new vectors are
+    assigned against the FROZEN centroids (ivf_append — raw cells) and
+    encoded with the FROZEN codebooks (the standard IVFADC maintenance
+    model: codebooks/centroids move only on retrain), their m-smallint
+    codes appended to the same cell partitions. O(|new|); existing
+    files untouched. Exactness dials (nprobe=all, shortlist ≥ corpus)
+    remain rank-identical to brute force over the grown corpus — the
+    re-rank is exact regardless of code quality — and lossy-dial recall
+    for OLD vectors is unchanged (their cells and codes are the same
+    bytes)."""
+    from .ivf import _assign_to_centroids
+
+    assign = _assign_to_centroids(new_emb, index.ivf.centroids,
+                                  vec_col=vec_col, id_col=id_col)
+    (assign.repartition("centroid_id")
+     .write.mode("append").partitionBy("centroid_id")
+     .parquet(os.path.join(index.ivf.index_dir, "cells")))
+    codes = (pq_encode(new_emb, index.books, vec_col=vec_col, id_col=id_col)
+             .join(assign.select("vec_id", "centroid_id"), "vec_id"))
+    (codes.repartition("centroid_id")
+     .write.mode("append").partitionBy("centroid_id")
+     .parquet(os.path.join(index.ivf.index_dir, "cells_codes")))
+    return index
+
+
+def ivfpq_delete(index: IvfPqIndex, vec_ids: list[int]) -> IvfPqIndex:
+    """Shared tombstone set with the IVF layer (one delete covers the
+    raw cells AND the codes table)."""
+    from .ivf import ivf_delete
+
+    ivf_delete(index.ivf, vec_ids)
+    return index
+
+
+def ivfpq_compact(index: IvfPqIndex) -> IvfPqIndex:
+    """Fold tombstones into BOTH partitioned datasets in one
+    touched-cells pass (ivf_compact with the codes table riding
+    along)."""
+    from .ivf import ivf_compact
+
+    ivf_compact(index.ivf, codes_dataset="cells_codes")
+    return index
 
 
 def ivfpq_open(spark: SparkSession, index_dir: str) -> IvfPqIndex:

@@ -45,8 +45,13 @@ def cosine_topk(emb: DataFrame, query_ids: list[int], k: int = 5,
             .select("query_id", "neighbor_id", "cos", "rank"))
 
 
-def cosine_topk_sql(query_ids: list[int], k: int = 5) -> str:
+def cosine_topk_sql(query_ids: list[int], k: int = 5,
+                    exclude_ids: list[int] | None = None) -> str:
+    """``exclude_ids`` drops vectors from the NEIGHBOR side (the oracle
+    for tombstoned/deleted vectors, functions/ivf.py:ivf_delete)."""
     ids = ", ".join(str(i) for i in query_ids)
+    excl = (f" AND f.vec_id NOT IN ({', '.join(str(i) for i in exclude_ids)})"
+            if exclude_ids else "")
     return f"""
 WITH flat AS (
   SELECT vec_id, generate_subscripts(embedding, 1) AS i,
@@ -58,7 +63,7 @@ dots AS (
   SELECT q.query_id, f.vec_id AS neighbor_id,
          sum(q.qx * f.x) AS dot,
          sqrt(sum(q.qx * q.qx)) AS nq, sqrt(sum(f.x * f.x)) AS nv
-  FROM flat f JOIN q ON q.i = f.i AND f.vec_id <> q.query_id
+  FROM flat f JOIN q ON q.i = f.i AND f.vec_id <> q.query_id{excl}
   GROUP BY 1, 2
 )
 SELECT query_id, neighbor_id, round(dot / (nq * nv), 6) AS cos,
