@@ -58,6 +58,33 @@ class IvfIndex:
         """(centroid_id int, cv array<double>) — tiny, broadcast side."""
         return self.spark.read.parquet(os.path.join(self.index_dir, "centroids"))
 
+    def manifest(self) -> dict | None:
+        """Streaming-managed indexes gate FILE VISIBILITY on an
+        atomically-swapped manifest (streaming/ann_ingest.py — the
+        Iceberg/Delta snapshot idea, and the same commit discipline as
+        the text index's globals.json): readers see only files some
+        committed entry lists, so a crashed batch's orphan files are
+        invisible until (never) committed. None = a plain batch-built
+        index, no read overhead."""
+        p = os.path.join(self.index_dir, "manifest.json")
+        if not os.path.exists(p):
+            return None
+        with open(p) as fh:
+            return json.load(fh)
+
+    def _visible(self, df: DataFrame) -> DataFrame:
+        man = self.manifest()
+        if man is None:
+            return df
+        allowed = sorted({f for files in man["entries"].values()
+                          for f in files})
+        basename = F.element_at(F.split(F.input_file_name(), "/"), -1)
+        allow_df = self.spark.createDataFrame([(f,) for f in allowed],
+                                              "fname string")
+        return (df.withColumn("fname", basename)
+                .join(F.broadcast(allow_df), "fname", "left_semi")
+                .drop("fname"))
+
     def tombstones(self) -> DataFrame | None:
         """Deleted vec_ids (ivf_delete), or None if none pending."""
         p = os.path.join(self.index_dir, "tombstones")
@@ -76,10 +103,11 @@ class IvfIndex:
     @property
     def cells(self) -> DataFrame:
         """(vec_id, v, centroid_id) partitioned by centroid_id on disk,
-        minus pending tombstones — every consumer (ivf_search, the
-        IVFADC code join) sees deletes immediately."""
-        return self._minus_tombstones(
-            self.spark.read.parquet(os.path.join(self.index_dir, "cells")))
+        manifest-gated (streaming indexes) and minus pending tombstones
+        — every consumer (ivf_search, the IVFADC code join) sees
+        deletes and committed appends immediately, never orphans."""
+        return self._minus_tombstones(self._visible(
+            self.spark.read.parquet(os.path.join(self.index_dir, "cells"))))
 
 
 def ivf_build(spark: SparkSession, emb: DataFrame, index_dir: str,
@@ -211,7 +239,34 @@ def ivf_compact(ivf: IvfIndex,
          .parquet(base))
     shutil.rmtree(os.path.join(ivf.index_dir, "tombstones"),
                   ignore_errors=True)
+    if ivf.manifest() is not None:
+        # the rewritten partitions' files are new names — re-snapshot so
+        # they are visible and the replaced files drop out
+        refresh_manifest(ivf.index_dir)
     return ivf
+
+
+def _data_files(index_dir: str) -> list[str]:
+    """Basenames of every parquet data file under the index's
+    partitioned datasets (parquet part names carry write-job UUIDs, so
+    basenames are globally unique — format-independent of the
+    filesystem's URI scheme)."""
+    out = []
+    for ds in ("cells", "cells_codes"):
+        base = os.path.join(index_dir, ds)
+        for root, _dirs, files in os.walk(base):
+            out += [f for f in files if f.endswith(".parquet")]
+    return sorted(out)
+
+
+def refresh_manifest(index_dir: str) -> None:
+    """Atomically re-snapshot the manifest to exactly the files on disk
+    (compact, or a manual batch append onto a streaming-managed index)."""
+    path = os.path.join(index_dir, "manifest.json")
+    tmp = path + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump({"entries": {"_base": _data_files(index_dir)}}, fh)
+    os.replace(tmp, path)
 
 
 def ivf_open(spark: SparkSession, index_dir: str) -> IvfIndex:

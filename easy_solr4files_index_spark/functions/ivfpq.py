@@ -80,10 +80,12 @@ class IvfPqIndex:
     @property
     def cells_codes(self) -> DataFrame:
         """(vec_id, codes, centroid_id) partitioned by centroid_id,
-        minus pending tombstones (shared with the IVF layer — one
-        delete hides the vector from raw AND compressed scans)."""
-        return self.ivf._minus_tombstones(self.ivf.spark.read.parquet(
-            os.path.join(self.ivf.index_dir, "cells_codes")))
+        manifest-gated and minus pending tombstones (both shared with
+        the IVF layer — one delete/commit covers raw AND compressed
+        scans)."""
+        return self.ivf._minus_tombstones(self.ivf._visible(
+            self.ivf.spark.read.parquet(
+                os.path.join(self.ivf.index_dir, "cells_codes"))))
 
 
 def ivfpq_append(index: IvfPqIndex, new_emb: DataFrame,
