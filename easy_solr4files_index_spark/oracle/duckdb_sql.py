@@ -343,6 +343,24 @@ SELECT n AS n_docs, round(avgdl, 6) AS avgdl FROM g
 """
 
 
+def build_metrics_sql() -> str:
+    """A3/north-rule build metrics, SQL-expressible surface: the fresh-
+    build twin recomputes corpus size, token mass, vocabulary size,
+    posting count (Σ df) and the E2 degraded-doc count from the raw
+    documents — the per-partition postings_bytes / skew_factor columns of
+    ``_metrics`` depend on the physical block encoding and stay pytest-
+    gated (tests/test_physical_index.py). CASTs: DuckDB sums BIGINT into
+    HUGEINT; the engine emits int64."""
+    return f"""{PREFIX}
+SELECT (SELECT count(*) FROM docl) AS n_docs,
+       (SELECT CAST(sum(dl) AS BIGINT) FROM docl) AS dl_sum,
+       (SELECT count(*) FROM dft) AS n_terms,
+       (SELECT CAST(sum(df) AS BIGINT) FROM dft) AS postings_rows,
+       (SELECT CAST(sum(CASE WHEN trim(content) = '' THEN 1 ELSE 0 END) AS BIGINT)
+          FROM docs) AS degraded_docs
+"""
+
+
 def doc_stats_sql(repo: str) -> str:
     return f"""{PREFIX}
 SELECT doc_id, repo, path, dl FROM docl WHERE repo = '{repo}'
