@@ -760,6 +760,28 @@ def _q_envelope(spark, sf_dir):
                               "spark join", k=10)
 
 
+def _q_pipe_contamination(spark, sf_dir):
+    """Benchmark-contamination detector (functions/contamination.py): the
+    eval set is a deterministic carve-out — every 83rd doc's first-15-
+    token snippet (the verbatim eval-leak shape) — and the detector must
+    recover each snippet's source doc at containment 1.0 plus any other
+    doc sharing the prefix. Bench side broadcast; the corpus never
+    shuffles (only the (doc, bench) match-count aggregate does)."""
+    from easy_solr4files_index_spark.functions import contamination as C
+
+    docs = _docs_raw(spark, sf_dir)
+    bench = C.snippet_bench(docs, modulus=83, k_tokens=15)
+    return C.contamination_pairs(docs, bench, n=3, threshold=0.5,
+                                 exclude_self=False)
+
+
+def _q_ts_repetition(spark, sf_dir):
+    """Gopher-style repetition quality signals (Rae et al. 2021 §A1.1):
+    top-bigram fraction + duplicate-trigram fraction as map-only Catalyst
+    array expressions (no exchange at any corpus size)."""
+    return textstats.repetition_scores(_docs_raw(spark, sf_dir))
+
+
 def _q_build_metrics(spark, sf_dir):
     """A3: the north-rule build metrics persisted at index time
     (operators/postings.py:580-586 `_metrics` — rows indexed, terms,
@@ -795,6 +817,8 @@ def _q_build_metrics(spark, sf_dir):
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         # --- never driver-checked before r04 / new this round ---
+        "pipe_contamination": _q_pipe_contamination,
+        "ts_repetition": _q_ts_repetition,
         "fts_build_metrics": _q_build_metrics,
         "fts_cached_topk": _q_cached_topk,
         "str_windowed_agg": _q_windowed_agg,
@@ -830,9 +854,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fts_topk_synonyms_phrase": _q_topk_synonyms_phrase,
         "fts_numfound_physical": _q_numfound_physical,
         "fts_topk_boolean_mixed": _q_topk_boolean_mixed,
-        "fts_numfound_boolean": _q_numfound_boolean,
         "fts_phrase_physical": _q_phrase_physical,
-        "meta_date_normalize": _q_meta_date_normalize,
         "meta_range_filter": _q_meta_range_filter,
         "scan_stores": _q_scan_stores,
         "meta_flatten_ws": _q_meta_flatten_ws,
@@ -883,6 +905,13 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out = {name: _mk_search(p) for name, p in _EXTRA_SEARCHES.items()}
     out.update({
         "mm_decode_stub": _q_mm_decode,
+        # fts_numfound_boolean ⊂ fts_phrase_physical (same clause set,
+        # same boolean match-set oracle) + fts_numfound_physical (count
+        # semantics); meta_date_normalize green r02-r03, trivial
+        # projection — both freed slots for pipe_contamination /
+        # ts_repetition (new, never driver-checked)
+        "fts_numfound_boolean": _q_numfound_boolean,
+        "meta_date_normalize": _q_meta_date_normalize,
         "fts_topk_arrow_tok": _q_topk_arrow,
         "fts_global_stats": _q_global_stats,
         "dedup_ngram_jaccard": _q_dedup_jaccard,
@@ -925,6 +954,11 @@ def oracle_sql() -> dict[str, str]:
     out["fts_termstats"] = osql.termstats_sql(["spark", "join", "dup", "customer"])
     out["fts_global_stats"] = osql.global_stats_sql()
     out["fts_build_metrics"] = osql.build_metrics_sql()
+    from easy_solr4files_index_spark.functions import contamination as _contam
+    out["pipe_contamination"] = _contam.contamination_pairs_sql(
+        n=3, threshold=0.5, bench_where="doc_id % 83 = 0",
+        snippet_tokens=15, exclude_self=False)
+    out["ts_repetition"] = textstats.repetition_scores_sql()
     out["fts_doc_stats"] = osql.doc_stats_sql("src3")
     out["fts_sha256"] = osql.sha256_sql()
     out["fts_delete_prefix"] = osql.delete_prefix_sql("src0")

@@ -152,6 +152,93 @@ FROM c
 """
 
 
+# max duplicate-run length over a SORTED string array — equal grams are
+# adjacent after array_sort, so the most frequent gram's count is the
+# longest equal-run: one fold, no explode, no shuffle
+_MAX_RUN = (
+    "aggregate(array_sort({arr}), "
+    "named_struct('prev', cast(null as string), 'run', 0L, 'best', 0L), "
+    "(a, x) -> named_struct('prev', x, "
+    "'run', IF(x <=> a.prev, a.run + 1L, 1L), "
+    "'best', greatest(a.best, IF(x <=> a.prev, a.run + 1L, 1L))), "
+    "a -> a.best)")
+
+
+def repetition_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style repetition quality signals (Rae et al. 2021 §A1.1),
+    token-window form: (doc_id, n_bigrams, top_bigram_frac,
+    dup_trigram_frac).
+
+      top_bigram_frac  — occurrences of the most frequent word 2-gram /
+                         total 2-gram occurrences (boilerplate headers,
+                         keyword stuffing);
+      dup_trigram_frac — fraction of 3-gram occurrences that are repeats
+                         (1 − distinct/total; templated spans).
+
+    Entirely per-row Catalyst array expressions — the most-frequent-gram
+    count folds over the SORTED gram array (equal grams are adjacent, so
+    top frequency == longest equal-run), so the op is map-only: at 100 TB
+    it pipelines inside the scan with NO exchange at all, unlike the
+    explode+groupBy formulation whose shuffle carries one row per
+    (doc, gram)."""
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    # inner select so tokenization runs once per row
+    base = docs.select("doc_id", _raw_tokens(t).alias("t")).select(
+        "doc_id",
+        F.expr("CASE WHEN size(t) >= 2 THEN transform(sequence(0, size(t) - 2), "
+               "i -> concat(t[i], ' ', t[i+1])) "
+               "ELSE cast(array() as array<string>) END").alias("bgs"),
+        F.expr("CASE WHEN size(t) >= 3 THEN transform(sequence(0, size(t) - 3), "
+               "i -> concat(t[i], ' ', t[i+1], ' ', t[i+2])) "
+               "ELSE cast(array() as array<string>) END").alias("tgs"),
+    ).select(
+        "doc_id",
+        F.size("bgs").alias("n_bigrams"),
+        F.expr(_MAX_RUN.format(arr="bgs")).alias("max_bg"),
+        F.size("tgs").alias("n_trigrams"),
+        F.size(F.array_distinct("tgs")).alias("d_tgs"),
+    )
+    top_bg = F.when(F.col("n_bigrams") > 0,
+                    F.col("max_bg") / F.col("n_bigrams")).otherwise(F.lit(0.0))
+    dup_tg = F.when(F.col("n_trigrams") > 0,
+                    1.0 - F.col("d_tgs") / F.col("n_trigrams")).otherwise(F.lit(0.0))
+    return base.select("doc_id",
+                       F.col("n_bigrams").cast("long").alias("n_bigrams"),
+                       F.round(top_bg, 6).alias("top_bigram_frac"),
+                       F.round(dup_tg, 6).alias("dup_trigram_frac"))
+
+
+def repetition_scores_sql() -> str:
+    """DuckDB twin — same numbers via unnest+GROUP BY (the oracle mirrors
+    results, not the plan shape)."""
+    tok = tokenize_duckdb_sql("text")
+    return f"""
+WITH tk AS (
+  SELECT doc_id, list_filter({tok}, t -> t <> '') AS l FROM documents
+),
+g AS (
+  SELECT doc_id,
+         CASE WHEN len(l) >= 2 THEN list_transform(range(1, len(l)),
+              i -> l[i] || ' ' || l[i + 1]) ELSE [] END AS bgs,
+         CASE WHEN len(l) >= 3 THEN list_transform(range(1, len(l) - 1),
+              i -> l[i] || ' ' || l[i + 1] || ' ' || l[i + 2]) ELSE [] END AS tgs
+  FROM tk
+),
+bg AS (SELECT doc_id, unnest(bgs) AS b FROM g),
+bc AS (SELECT doc_id, b, count(*) AS c FROM bg GROUP BY 1, 2),
+bm AS (SELECT doc_id, max(c) AS max_bg FROM bc GROUP BY 1)
+SELECT g.doc_id,
+       CAST(len(bgs) AS BIGINT) AS n_bigrams,
+       round(CASE WHEN len(bgs) > 0
+                  THEN coalesce(bm.max_bg, 0) * 1.0 / len(bgs)
+                  ELSE 0.0 END, 6) AS top_bigram_frac,
+       round(CASE WHEN len(tgs) > 0
+                  THEN 1.0 - len(list_distinct(tgs)) * 1.0 / len(tgs)
+                  ELSE 0.0 END, 6) AS dup_trigram_frac
+FROM g LEFT JOIN bm USING (doc_id)
+"""
+
+
 def fingerprints(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Order-insensitive 56-bit content fingerprint per doc."""
     t = F.coalesce(F.col(text_col), F.lit(""))
