@@ -775,6 +775,25 @@ def _q_pipe_contamination(spark, sf_dir):
                                  exclude_self=False)
 
 
+def _q_pipe_curate(spark, sf_dir):
+    """End-to-end corpus curation (functions/curation.py): quality +
+    length + repetition + language gates in ONE map-only pass over a
+    shared token projection, exact dedup as ONE min_by hash aggregate,
+    snippet-bench decontamination as a broadcast anti-join; the result is
+    per-repo survivor counts. The oracle recomputes the WHOLE pipeline by
+    composing the standalone operators' own SQL twins."""
+    from easy_solr4files_index_spark.functions import contamination as C
+    from easy_solr4files_index_spark.functions import curation as CU
+
+    docs = _docs_raw(spark, sf_dir)
+    cfg = CU.CurationConfig(min_quality=0.7, min_tokens=15,
+                            max_top_bigram=0.08, langs=("en",))
+    bench = C.snippet_bench(docs, modulus=83, k_tokens=15)
+    kept = CU.curate(docs, cfg, bench=bench)
+    return (kept.groupBy(F.col("source").alias("repo"))
+            .agg(F.count("*").alias("kept")))
+
+
 def _q_ts_repetition(spark, sf_dir):
     """Gopher-style repetition quality signals (Rae et al. 2021 §A1.1):
     top-bigram fraction + duplicate-trigram fraction as map-only Catalyst
@@ -818,6 +837,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         # --- never driver-checked before r04 / new this round ---
         "pipe_contamination": _q_pipe_contamination,
+        "pipe_curate": _q_pipe_curate,
         "ts_repetition": _q_ts_repetition,
         "fts_build_metrics": _q_build_metrics,
         "fts_cached_topk": _q_cached_topk,
@@ -857,7 +877,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fts_phrase_physical": _q_phrase_physical,
         "meta_range_filter": _q_meta_range_filter,
         "scan_stores": _q_scan_stores,
-        "meta_flatten_ws": _q_meta_flatten_ws,
         "meta_empty_value_filter": _q_empty_value_filter,
         "fts_path_prefix": _q_path_prefix,
         "fts_topk_access_anon": _q_access_anon,
@@ -912,6 +931,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ts_repetition (new, never driver-checked)
         "fts_numfound_boolean": _q_numfound_boolean,
         "meta_date_normalize": _q_meta_date_normalize,
+        # meta_flatten_ws green r01-r03; trivial projection, freed the
+        # pipe_curate slot
+        "meta_flatten_ws": _q_meta_flatten_ws,
         "fts_topk_arrow_tok": _q_topk_arrow,
         "fts_global_stats": _q_global_stats,
         "dedup_ngram_jaccard": _q_dedup_jaccard,
@@ -955,10 +977,15 @@ def oracle_sql() -> dict[str, str]:
     out["fts_global_stats"] = osql.global_stats_sql()
     out["fts_build_metrics"] = osql.build_metrics_sql()
     from easy_solr4files_index_spark.functions import contamination as _contam
+    from easy_solr4files_index_spark.functions import curation as _cur
     out["pipe_contamination"] = _contam.contamination_pairs_sql(
         n=3, threshold=0.5, bench_where="doc_id % 83 = 0",
         snippet_tokens=15, exclude_self=False)
     out["ts_repetition"] = textstats.repetition_scores_sql()
+    out["pipe_curate"] = _cur.curate_kept_by_repo_sql(
+        _cur.CurationConfig(min_quality=0.7, min_tokens=15,
+                            max_top_bigram=0.08, langs=("en",)),
+        bench_where="doc_id % 83 = 0", snippet_tokens=15)
     out["fts_doc_stats"] = osql.doc_stats_sql("src3")
     out["fts_sha256"] = osql.sha256_sql()
     out["fts_delete_prefix"] = osql.delete_prefix_sql("src0")

@@ -710,6 +710,48 @@ def run_pipeline(cpus: int, n_docs: int = 200_000, dim: int = 32,
         out["dedup_dropped"] = n_dropped
         out["dedup_docs_per_sec"] = round(n_total / out["dedup_apply_sec"], 1)
 
+        # --- corpus hygiene: contamination screen + repetition signals --
+        from .functions.contamination import contamination_pairs, snippet_bench
+        from .functions.textstats import repetition_scores
+        # ~n/997 eval items (xxhash64 ids: the modulus carves a pseudo-
+        # random slice); the salted exact dups guarantee real cross-doc
+        # hits beyond self-recovery
+        bench_df = snippet_bench(docs, modulus=997, k_tokens=15)
+        times = []
+        for _ in range(search_reps):
+            t0 = time.perf_counter()
+            n_cont = contamination_pairs(docs, bench_df, n=3, threshold=0.8,
+                                         exclude_self=False).count()
+            times.append(time.perf_counter() - t0)
+        out["contamination_sec"] = round(min(times), 2)
+        out["contamination_hits"] = n_cont
+        out["contamination_docs_per_sec"] = round(
+            n_total / out["contamination_sec"], 1)
+
+        times = []
+        for _ in range(search_reps):
+            t0 = time.perf_counter()
+            # aggregate over the computed columns so column pruning can't
+            # skip the map-only gram fold
+            repetition_scores(docs).agg(
+                F.sum("n_bigrams"), F.avg("top_bigram_frac"),
+                F.avg("dup_trigram_frac")).collect()
+            times.append(time.perf_counter() - t0)
+        out["repetition_sec"] = round(min(times), 2)
+        out["repetition_docs_per_sec"] = round(
+            n_total / out["repetition_sec"], 1)
+
+        # end-to-end curation: gates (one map pass) + min_by exact dedup
+        # + snippet decontamination — the full pretraining-corpus prep
+        from .functions.curation import CurationConfig, curate
+        cur_cfg = CurationConfig(min_tokens=10, max_top_bigram=0.5,
+                                 max_dup_trigram=0.9)
+        t0 = time.perf_counter()
+        n_kept = curate(docs, cur_cfg, bench=bench_df).count()
+        out["curate_sec"] = round(time.perf_counter() - t0, 2)
+        out["curate_kept"] = n_kept
+        out["curate_docs_per_sec"] = round(n_total / out["curate_sec"], 1)
+
         # --- ANN over deterministic synthetic vectors -------------------
         emb = _synth_embeddings(
             spark, n_docs, dim, f"/tmp/fts_scale_emb_{n_docs}_{dim}")
@@ -837,6 +879,9 @@ same VM-noise caveats as every harness here).
 | operator | wall (s) | throughput | recall@10 vs brute force |
 |---|---|---|---|
 | dedup_apply (LSH→verify→components→keep), {p['dedup_docs']} docs, {p['dedup_dropped']} dropped | {p['dedup_apply_sec']} | {p['dedup_docs_per_sec']} docs/s | — |
+| contamination_pairs (3-gram containment ≥0.8, ~{p['n_docs'] // 997} snippet eval items, {p.get('contamination_hits', '—')} hits) | {p.get('contamination_sec', '—')} | {p.get('contamination_docs_per_sec', '—')} docs/s | — |
+| repetition_scores (map-only Gopher top-bigram/dup-trigram fold) | {p.get('repetition_sec', '—')} | {p.get('repetition_docs_per_sec', '—')} docs/s | — |
+| curate end-to-end (gates + min_by dedup + decontaminate, kept {p.get('curate_kept', '—')}) | {p.get('curate_sec', '—')} | {p.get('curate_docs_per_sec', '—')} docs/s | — |
 | ivf_build (64 cells, 2 kmeans iters) | {p['ivf_build_sec']} | — | — |
 | ivf_search (k=10, nprobe=8, {p['n_queries']} queries) | {p['ivf_search_sec']} | {p['ivf_search_qps']} q/s | {p.get('ivf_recall_at10', '—')} |
 | ivfpq_build (64 cells, m=4, ksub=64, parallel sub-space fits) | {p['ivfpq_build_sec']} | — | — |

@@ -112,34 +112,37 @@ def _ngrams_sql(n: int, source: str, id_expr: str, where: str = "TRUE") -> str:
             f"WHERE len(l) >= {n})")
 
 
-def contamination_pairs_sql(n: int = 3, threshold: float = 0.5,
-                            bench_where: str = "doc_id % 97 = 0",
-                            snippet_tokens: int | None = None,
-                            exclude_self: bool = True) -> str:
-    """DuckDB twin with the benchmark carved from ``documents`` by
-    ``bench_where`` — the deterministic in-repo eval-set stand-in. With
+def bench_sh_sql(n: int = 3, bench_where: str = "doc_id % 97 = 0",
+                 snippet_tokens: int | None = None) -> str:
+    """The benchmark-side distinct-shingle subquery (bench_id, sh), the
+    bench carved from ``documents`` by ``bench_where``. With
     ``snippet_tokens`` the bench item is the doc's first-k-token snippet
     (the verbatim eval-leak shape); tokens roundtrip through the analyzer
     (emitted tokens contain no delimiter chars), so shingling the
     truncated token list equals re-tokenizing the joined snippet."""
     tok = tokenize_duckdb_sql("text")
-    if snippet_tokens is not None:
-        bench_l = f"l[1:{snippet_tokens}]"
-    else:
-        bench_l = "l"
+    bench_l = f"l[1:{snippet_tokens}]" if snippet_tokens is not None else "l"
     parts = " || ' ' || ".join(f"bl[i + {j}]" for j in range(n))
-    self_where = "d.doc_id <> b.bench_id" if exclude_self else "TRUE"
-    return f"""
-WITH d_sh AS (SELECT id AS doc_id, sh FROM {_ngrams_sql(n, 'documents', 'doc_id')}),
-b_sh AS (
+    return f"""(
   SELECT doc_id AS bench_id,
          unnest(list_distinct(list_transform(range(1, len(bl) - {n - 2}),
                 i -> {parts}))) AS sh
   FROM (SELECT doc_id, {bench_l} AS bl
         FROM (SELECT doc_id, list_filter({tok}, t -> t <> '') AS l
               FROM documents WHERE {bench_where}))
-  WHERE len(bl) >= {n}
-),
+  WHERE len(bl) >= {n})"""
+
+
+def contamination_pairs_sql(n: int = 3, threshold: float = 0.5,
+                            bench_where: str = "doc_id % 97 = 0",
+                            snippet_tokens: int | None = None,
+                            exclude_self: bool = True) -> str:
+    """DuckDB twin of contamination_pairs over the deterministic in-repo
+    bench carve-out (see bench_sh_sql)."""
+    self_where = "d.doc_id <> b.bench_id" if exclude_self else "TRUE"
+    return f"""
+WITH d_sh AS (SELECT id AS doc_id, sh FROM {_ngrams_sql(n, 'documents', 'doc_id')}),
+b_sh AS (SELECT * FROM {bench_sh_sql(n, bench_where, snippet_tokens)}),
 b_tot AS (SELECT bench_id, count(*) AS bench_total FROM b_sh GROUP BY 1),
 m AS (
   SELECT d.doc_id, b.bench_id, count(*) AS matched

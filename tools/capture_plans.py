@@ -158,6 +158,38 @@ def main() -> None:
         fmt(positions_rows(enriched, 32)),
     ))
 
+    from easy_solr4files_index_spark.functions import contamination as contam
+    from easy_solr4files_index_spark.functions import textstats
+    raw = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    bench = contam.snippet_bench(raw, modulus=83, k_tokens=15)
+    sections.append((
+        "Benchmark-contamination detection (round-4)",
+        "`contamination_pairs(docs, snippet_bench(docs), n=3, "
+        "threshold=0.5, exclude_self=False)`.\n"
+        "Look for: the bench side's n-gram explode feeding "
+        "`BroadcastExchange` → `BroadcastHashJoin [sh]` — the corpus-side "
+        "shingle stream joins map-side with NO corpus shuffle; the only "
+        "`Exchange hashpartitioning` in the plan keys the "
+        "(doc_id, bench_id) match-count `HashAggregate` (partial agg "
+        "above it combines map-side), bounded by docs-sharing-a-shingle, "
+        "never corpus size. bench_total joins back as a second broadcast.",
+        fmt(contam.contamination_pairs(raw, bench, n=3, threshold=0.5,
+                                       exclude_self=False)),
+    ))
+
+    sections.append((
+        "Repetition quality signals — map-only (round-4)",
+        "`repetition_scores(docs)` (Gopher top-bigram / dup-trigram "
+        "fractions).\n"
+        "Look for: NO `Exchange` anywhere and a single `Project` over the "
+        "parquet scan inside `WholeStageCodegen` — the most-frequent-"
+        "bigram count is an `aggregate()` fold over the SORTED per-row "
+        "gram array (equal grams adjacent ⇒ top frequency == longest "
+        "equal-run), so the operator never explodes grams into rows; at "
+        "any corpus size it pipelines inside the scan.",
+        fmt(textstats.repetition_scores(raw)),
+    ))
+
     delta = (idx.postings
              .filter((F.col("bucket") >= 0) & (F.col("bucket") <= 0))
              .select("term", "tbucket", "n", "doc_ids"))
