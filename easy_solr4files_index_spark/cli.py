@@ -142,6 +142,46 @@ def cmd_compact(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_curate(args: argparse.Namespace) -> int:
+    """Training-corpus curation over a raw documents table: quality /
+    length / repetition / language gates (one map pass), exact dedup
+    (deterministic min-doc_id winner), optional benchmark
+    decontamination; writes the curated corpus as parquet and prints a
+    JSON report of what survived."""
+    import os
+
+    from .functions.curation import CurationConfig, curate
+
+    spark = _spark("fts-curate", args.cpus)
+    path = args.input
+    if os.path.isdir(path) and os.path.exists(
+            os.path.join(path, "documents.parquet")):
+        path = os.path.join(path, "documents.parquet")
+    docs = (spark.read.parquet(path) if os.path.exists(path)
+            else spark.read.table(path))
+    cfg = CurationConfig(
+        min_quality=args.min_quality, min_tokens=args.min_tokens,
+        max_top_bigram=args.max_top_bigram,
+        max_dup_trigram=args.max_dup_trigram,
+        langs=tuple(args.langs.split(",")) if args.langs else None,
+        exact_dedup=not args.no_exact_dedup,
+        contamination_n=args.contamination_n,
+        contamination_threshold=args.contamination_threshold)
+    bench = spark.read.parquet(args.bench) if args.bench else None
+    n_in = docs.count()
+    t0 = time.perf_counter()
+    kept = curate(docs, cfg, bench=bench)
+    kept.write.mode("overwrite").parquet(args.output)
+    dt = time.perf_counter() - t0
+    n_kept = spark.read.parquet(args.output).count()
+    print(json.dumps({
+        "output": args.output, "n_in": n_in, "n_kept": n_kept,
+        "n_dropped": n_in - n_kept, "curate_sec": round(dt, 2),
+        "docs_per_sec": round(n_in / dt, 1) if dt > 0 else None,
+    }))
+    return 0
+
+
 def cmd_bench(args: argparse.Namespace) -> int:
     # packaged module — works from a --py-files zip with no repo checkout
     from .benchmark import run_suite
@@ -183,6 +223,25 @@ def main(argv: list[str] | None = None) -> int:
     c = sub.add_parser("compact", help="fold tombstones/deltas into the base index")
     c.add_argument("--index", required=True)
     c.set_defaults(fn=cmd_compact)
+
+    cu = sub.add_parser(
+        "curate", help="training-corpus curation: gates + exact dedup + "
+        "decontamination; writes curated parquet")
+    cu.add_argument("--input", required=True,
+                    help="raw documents parquet (doc_id, text, ...) / sf dir / table")
+    cu.add_argument("--output", required=True)
+    cu.add_argument("--min-quality", type=float, default=None)
+    cu.add_argument("--min-tokens", type=int, default=None)
+    cu.add_argument("--max-top-bigram", type=float, default=None)
+    cu.add_argument("--max-dup-trigram", type=float, default=None)
+    cu.add_argument("--langs", default=None,
+                    help="comma list of predicted languages to keep")
+    cu.add_argument("--no-exact-dedup", action="store_true")
+    cu.add_argument("--bench", default=None,
+                    help="parquet of (bench_id, text) eval items to screen against")
+    cu.add_argument("--contamination-n", type=int, default=3)
+    cu.add_argument("--contamination-threshold", type=float, default=0.5)
+    cu.set_defaults(fn=cmd_curate)
 
     be = sub.add_parser("bench", help="run the benchmark suite")
     be.add_argument("--input", default="/root/testdata/sf0.1")

@@ -138,3 +138,28 @@ def test_cli_build_from_catalog_table(capsys, spark, tmp_path):
         assert env["summary"]["returned"] == 2
     finally:
         spark.sql("DROP TABLE IF EXISTS docs_tbl_r4")
+
+
+def test_cli_curate_writes_curated_corpus(capsys, spark, tmp_path):
+    """`fts curate` writes the curated parquet and reports the drop;
+    exact dedup + a bench screen both bite on a crafted corpus."""
+    src = str(tmp_path / "raw")
+    spark.createDataFrame(
+        [(1, "alpha bravo charlie delta echo foxtrot golf hotel"),
+         (2, "alpha bravo charlie delta echo foxtrot golf hotel"),  # dup of 1
+         (3, "completely different words live here today friends"),
+         (4, "leak alpha bravo charlie delta echo inside this doc")],
+        "doc_id long, text string").write.parquet(src)
+    bench = str(tmp_path / "bench")
+    spark.createDataFrame([(100, "alpha bravo charlie delta echo")],
+                          "bench_id long, text string").write.parquet(bench)
+    out_dir = str(tmp_path / "curated")
+    rc = cli.main(["curate", "--input", src, "--output", out_dir,
+                   "--min-tokens", "3", "--bench", bench,
+                   "--contamination-threshold", "0.9"])
+    assert rc == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    # doc 2 (exact dup), docs 1+4 (contain the full bench item) drop
+    assert rep["n_in"] == 4 and rep["n_kept"] == 1 and rep["n_dropped"] == 3
+    kept = {r["doc_id"] for r in spark.read.parquet(out_dir).collect()}
+    assert kept == {3}
