@@ -31,7 +31,7 @@ from dataclasses import dataclass
 from pyspark.sql import Column, DataFrame, functions as F
 
 from .contamination import contamination_pairs
-from .textstats import LANG_MARKERS, _MAX_RUN
+from .textstats import LANG_MARKERS
 from .tokenizer import LUCENE_STOPWORDS, tokenize_expr
 
 
@@ -49,19 +49,38 @@ class CurationConfig:
     contamination_threshold: float = 0.5
 
 
-# n-gram arrays over the staged `_toks` column (identical construction
-# to textstats.repetition_scores)
-_BGS = ("CASE WHEN size(_toks) >= 2 THEN transform(sequence(0, size(_toks) - 2), "
-        "i -> concat(_toks[i], ' ', _toks[i+1])) "
-        "ELSE cast(array() as array<string>) END")
-_TGS = ("CASE WHEN size(_toks) >= 3 THEN transform(sequence(0, size(_toks) - 3), "
-        "i -> concat(_toks[i], ' ', _toks[i+1], ' ', _toks[i+2])) "
-        "ELSE cast(array() as array<string>) END")
+def _ngram_arr(toks: Column, n: int) -> Column:
+    """Word n-grams of a token-array Column (the repetition_scores
+    construction, lambda-variable-safe — no column-name SQL strings)."""
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(F.sequence(F.lit(0), F.size(toks) - n),
+                    lambda i: F.concat_ws(
+                        " ", *[F.get(toks, i + j) for j in range(n)]))
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def _max_run(arr: Column) -> Column:
+    """Longest equal-run over the sorted array == the most frequent
+    element's count (textstats._MAX_RUN, Column form)."""
+    def merge(a, x):
+        run = F.when(x.eqNullSafe(a["prev"]),
+                     a["run"] + F.lit(1).cast("long")
+                     ).otherwise(F.lit(1).cast("long"))
+        return F.struct(x.alias("prev"), run.alias("run"),
+                        F.greatest(a["best"], run).alias("best"))
+    init = F.struct(F.lit(None).cast("string").alias("prev"),
+                    F.lit(0).cast("long").alias("run"),
+                    F.lit(0).cast("long").alias("best"))
+    return F.aggregate(F.array_sort(arr), init, merge, lambda a: a["best"])
 
 
 def _gate_condition(cfg: CurationConfig, text: Column, toks: Column) -> Column:
     """The map-only keep-predicate over (text, token-array) — every term
-    mirrors a standalone textstats expression (pinned by test_curation)."""
+    mirrors a standalone textstats expression (pinned by test_curation).
+    ``toks`` is a LAMBDA VARIABLE (bound once per row by curate's
+    transform()), so the many references here are cheap attribute reads,
+    not re-evaluations of the tokenizer chain."""
     stop_arr = F.array(*[F.lit(w) for w in LUCENE_STOPWORDS])
     raw_n = F.size(toks)
     filt_n = F.size(F.filter(toks, lambda x: ~F.array_contains(stop_arr, x)))
@@ -78,15 +97,15 @@ def _gate_condition(cfg: CurationConfig, text: Column, toks: Column) -> Column:
         # gate on the ROUNDED score — the published quality_scores column
         cond &= F.round(quality, 6) >= cfg.min_quality
     if cfg.max_top_bigram is not None:
-        n_bg = F.size(F.expr(_BGS))
-        top = F.when(n_bg > 0,
-                     F.expr(_MAX_RUN.format(arr=_BGS)) / n_bg
-                     ).otherwise(F.lit(0.0))
+        bgs = _ngram_arr(toks, 2)
+        n_bg = F.size(bgs)
+        top = F.when(n_bg > 0, _max_run(bgs) / n_bg).otherwise(F.lit(0.0))
         cond &= F.round(top, 6) <= cfg.max_top_bigram
     if cfg.max_dup_trigram is not None:
-        n_tg = F.size(F.expr(_TGS))
+        tgs = _ngram_arr(toks, 3)
+        n_tg = F.size(tgs)
         dup = F.when(n_tg > 0,
-                     1.0 - F.size(F.array_distinct(F.expr(_TGS))) / n_tg
+                     1.0 - F.size(F.array_distinct(tgs)) / n_tg
                      ).otherwise(F.lit(0.0))
         cond &= F.round(dup, 6) <= cfg.max_dup_trigram
     if cfg.langs is not None:
@@ -113,9 +132,18 @@ def curate(docs: DataFrame, cfg: CurationConfig = CurationConfig(),
     scores, so curate(docs) == the composed standalone operators."""
     cols = docs.columns
     text = F.coalesce(F.col(text_col), F.lit(""))
-    staged = docs.withColumn("_toks", tokenize_expr(text, stopwords=()))
-    kept = (staged.filter(_gate_condition(cfg, text, F.col("_toks")))
-            .drop("_toks"))
+    # Bind the token array ONCE PER ROW through a higher-order lambda:
+    # a plain `withColumn("_toks", ...)` + filter gets rewritten by
+    # Catalyst's filter-through-project pushdown (replaceAlias), which
+    # INLINES the full tokenizer chain into every one of the predicate's
+    # ~10 token-array references — measured 20×+ regex blow-up at 200k
+    # docs (interpreted eval: the fold forces codegen fallback, so no
+    # subexpression elimination rescues it). Inside transform() the
+    # lambda variable is a cheap attribute; the tokenizer runs once.
+    keep = F.element_at(
+        F.transform(F.array(tokenize_expr(text, stopwords=())),
+                    lambda toks: _gate_condition(cfg, text, toks)), 1)
+    kept = docs.filter(keep)
     if cfg.exact_dedup:
         kept = (kept.groupBy(F.md5(F.coalesce(F.col(text_col), F.lit("")))
                      .alias("_h"))
