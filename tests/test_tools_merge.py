@@ -51,3 +51,56 @@ def test_merge_level_keeps_best_leg_and_stage_minima():
     assert out["build_sec_trials"] == [9.0, 11.0]   # trials concatenated
     assert out["queries"] == {"q": 0.8, "q2": 0.5}  # min + passthrough
     assert out["build_stage_sec_min"] == {"docs_store": 4.0, "postings": 3.0}
+
+
+# ------------------------------------------------- pipeline-run merging
+
+from tools import merge_pipeline_runs as mpr  # noqa: E402
+
+
+def _prun(**over):
+    base = {"cpus": 32, "n_docs": 200000, "n_vecs": 200000, "dim": 32,
+            "n_queries": 100, "search_reps": 2,
+            "dedup_apply_sec": 50.0, "dedup_docs": 204000,
+            "dedup_dropped": 4000, "dedup_docs_per_sec": 4080.0,
+            "contamination_sec": 24.0, "contamination_hits": 225,
+            "repetition_sec": 11.6, "curate_sec": 43.2,
+            "curate_kept": 197184,
+            "ivf_build_sec": 18.0, "ivf_search_sec": 2.4,
+            "ivf_search_rows": 1000, "ivf_search_qps": 41.7,
+            "ivfpq_build_sec": 27.0, "ivfpq_search_sec": 2.1,
+            "ivfpq_search_rows": 1000,
+            "pq_batch_rerank_sec": 1.3, "pq_batch_rerank_rows": 1000,
+            "ivfpq_batch_sec": 1.5, "ivfpq_batch_rows": 1000,
+            "ivfpq_append_10k_sec": 10.7}
+    base.update(over)
+    return base
+
+
+def test_pipeline_merge_takes_min_sec_and_recomputes_derived():
+    out = mpr.merge([_prun(), _prun(dedup_apply_sec=75.2, curate_sec=39.0,
+                                    ivf_search_sec=2.0)])
+    assert out["dedup_apply_sec"] == 50.0
+    assert out["curate_sec"] == 39.0
+    assert out["ivf_search_sec"] == 2.0
+    assert out["ivf_search_qps"] == round(100 / 2.0, 1)
+    assert out["dedup_docs_per_sec"] == round(204000 / 50.0, 1)
+    assert out["curate_docs_per_sec"] == round(204000 / 39.0, 1)
+    assert out["ivfpq_append_vs_build"] == round(10.7 / 27.0, 3)
+
+
+def test_pipeline_merge_refuses_different_workload():
+    with pytest.raises(SystemExit, match="n_docs differs"):
+        mpr.merge([_prun(), _prun(n_docs=400000)])
+
+
+def test_pipeline_merge_refuses_result_mismatch():
+    with pytest.raises(SystemExit, match="curate_kept"):
+        mpr.merge([_prun(), _prun(curate_kept=1)])
+
+
+def test_pipeline_merge_passes_through_new_keys():
+    old = _prun()
+    del old["curate_sec"], old["curate_kept"]
+    out = mpr.merge([old, _prun()])
+    assert out["curate_sec"] == 43.2  # newer run contributes the new row
