@@ -801,6 +801,24 @@ def _q_ts_repetition(spark, sf_dir):
     return textstats.repetition_scores(_docs_raw(spark, sf_dir))
 
 
+def _q_pipe_sample(spark, sf_dir):
+    """Deterministic hash-Bernoulli corpus sample (functions/sampling.py)
+    — reproducible across runs/partitionings, map-only."""
+    from easy_solr4files_index_spark.functions import sampling as S
+
+    return (S.hash_sample(_docs_raw(spark, sf_dir), rate=0.25, salt="s1")
+            .select("doc_id", "source", "lang"))
+
+
+def _q_pipe_cap(spark, sf_dir):
+    """Per-repo quota (anti-domination): at most 10 docs per source,
+    winners picked by deterministic hash order."""
+    from easy_solr4files_index_spark.functions import sampling as S
+
+    return (S.cap_per_key(_docs_raw(spark, sf_dir), key="source", n=10)
+            .select("doc_id", "source"))
+
+
 def _q_build_metrics(spark, sf_dir):
     """A3: the north-rule build metrics persisted at index time
     (operators/postings.py:580-586 `_metrics` — rows indexed, terms,
@@ -924,6 +942,10 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out = {name: _mk_search(p) for name, p in _EXTRA_SEARCHES.items()}
     out.update({
         "mm_decode_stub": _q_mm_decode,
+        # deterministic sampling (new round-4 ops; window full — the
+        # pytest hash gate is their oracle evidence)
+        "pipe_sample": _q_pipe_sample,
+        "pipe_cap_per_repo": _q_pipe_cap,
         # fts_numfound_boolean ⊂ fts_phrase_physical (same clause set,
         # same boolean match-set oracle) + fts_numfound_physical (count
         # semantics); meta_date_normalize green r02-r03, trivial
@@ -982,6 +1004,13 @@ def oracle_sql() -> dict[str, str]:
         n=3, threshold=0.5, bench_where="doc_id % 83 = 0",
         snippet_tokens=15, exclude_self=False)
     out["ts_repetition"] = textstats.repetition_scores_sql()
+    from easy_solr4files_index_spark.functions import sampling as _samp
+    out["pipe_sample"] = (
+        "SELECT doc_id, source, lang FROM ("
+        + _samp.hash_sample_sql(rate=0.25, salt="s1") + ")")
+    out["pipe_cap_per_repo"] = (
+        "SELECT doc_id, source FROM ("
+        + _samp.cap_per_key_sql(key="source", n=10) + ")")
     out["pipe_curate"] = _cur.curate_kept_by_repo_sql(
         _cur.CurationConfig(min_quality=0.7, min_tokens=15,
                             max_top_bigram=0.08, langs=("en",)),
