@@ -513,6 +513,14 @@ def _q_ts_quality(spark, sf_dir):
     return textstats.quality_scores(_docs_raw(spark, sf_dir))
 
 
+def _q_ts_profile(spark, sf_dir):
+    """All per-document text signals (token/quality/repetition/lang) in
+    ONE map-only pass with the token array lambda-bound once per row —
+    column-identical to the standalone ops (their twins joined on doc_id
+    form the oracle)."""
+    return textstats.text_profile(_docs_raw(spark, sf_dir))
+
+
 def _q_ts_langid(spark, sf_dir):
     return textstats.lang_id(_docs_raw(spark, sf_dir))
 
@@ -856,6 +864,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- never driver-checked before r04 / new this round ---
         "pipe_contamination": _q_pipe_contamination,
         "pipe_curate": _q_pipe_curate,
+        "ts_profile": _q_ts_profile,
+        "pipe_sample": _q_pipe_sample,
         "ts_repetition": _q_ts_repetition,
         "fts_build_metrics": _q_build_metrics,
         "fts_cached_topk": _q_cached_topk,
@@ -904,8 +914,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact_groups": _q_dedup_exact,
         "dedup_apply": _q_dedup_apply,
         "dedup_simhash_cand": _q_dedup_simhash_cand,
-        "ts_token_count": _q_ts_token_count,
-        "ts_quality": _q_ts_quality,
     })
     assert len(q) <= 50, f"driver window is 50; queries() has {len(q)}"
     return q
@@ -942,10 +950,12 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out = {name: _mk_search(p) for name, p in _EXTRA_SEARCHES.items()}
     out.update({
         "mm_decode_stub": _q_mm_decode,
-        # deterministic sampling (new round-4 ops; window full — the
-        # pytest hash gate is their oracle evidence)
-        "pipe_sample": _q_pipe_sample,
+        # per-key quota twin of the in-window pipe_sample
         "pipe_cap_per_repo": _q_pipe_cap,
+        # ts_token_count / ts_quality ⊂ ts_profile (column-identical
+        # fused pass; green r01-r03)
+        "ts_token_count": _q_ts_token_count,
+        "ts_quality": _q_ts_quality,
         # fts_numfound_boolean ⊂ fts_phrase_physical (same clause set,
         # same boolean match-set oracle) + fts_numfound_physical (count
         # semantics); meta_date_normalize green r02-r03, trivial
@@ -1116,6 +1126,7 @@ SELECT repo, path, lang, content_md5 FROM g WHERE rn = 1
     out["dedup_apply"] = dedup.dedup_apply_sql(threshold=0.6)
     out["dedup_simhash_cand"] = dedup.simhash_candidates_sql(max_hamming=3)
     out["ts_token_count"] = textstats.token_counts_sql()
+    out["ts_profile"] = textstats.text_profile_sql()
     out["ts_quality"] = textstats.quality_scores_sql()
     out["ts_langid"] = textstats.lang_id_sql()
     out["ts_fingerprint"] = textstats.fingerprints_sql()

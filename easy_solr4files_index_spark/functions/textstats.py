@@ -239,6 +239,85 @@ FROM g LEFT JOIN bm USING (doc_id)
 """
 
 
+def text_profile(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """ALL per-document text signals in ONE map-only pass — the shape a
+    real feature-extraction job runs (tokenize once, emit every column),
+    instead of N operators × N tokenizations:
+
+      (doc_id, n_tokens, n_ws, n_bpe, n_chars, alpha_ratio, stop_ratio,
+       quality, n_bigrams, top_bigram_frac, dup_trigram_frac, lang_pred)
+
+    Column-for-column identical to token_counts / quality_scores /
+    repetition_scores / lang_id (pinned by tests/test_textstats.py).
+    The raw token array binds ONCE PER ROW through a higher-order lambda
+    (`transform(array(tokenize), toks -> struct(...))[0]`) — the same
+    optimizer-proofing as curation.curate: a plain projected column gets
+    inlined into every downstream reference by CollapseProject/
+    replaceAlias, re-running the tokenizer regex ~10×."""
+    from .curation import _max_run, _ngram_arr  # Column-form helpers
+
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    stop_arr = F.array(*[F.lit(w) for w in LUCENE_STOPWORDS])
+    n_ws = F.when(F.trim(t) == "", F.lit(0)).otherwise(
+        F.size(F.split(F.trim(t), r"\s+")))
+    n_bpe = F.size(F.regexp_extract_all(t, F.lit(_BPE_RE), 0))
+    n_chars = F.length(t)
+    alpha = (F.length(F.regexp_replace(t, "[^a-zA-Z]", ""))
+             / F.greatest(n_chars, F.lit(1)))
+
+    def mk(toks):
+        raw_n = F.size(toks)
+        filt_n = F.size(F.filter(toks, lambda x: ~F.array_contains(stop_arr, x)))
+        stop_ratio = (raw_n - filt_n) / F.greatest(raw_n, F.lit(1))
+        quality = (0.4 * alpha + 0.3 * (1.0 - stop_ratio)
+                   + 0.3 * F.least(filt_n / F.lit(100.0), F.lit(1.0)))
+        bgs, tgs = _ngram_arr(toks, 2), _ngram_arr(toks, 3)
+        n_bg, n_tg = F.size(bgs), F.size(tgs)
+        top_bg = F.when(n_bg > 0, _max_run(bgs) / n_bg).otherwise(F.lit(0.0))
+        dup_tg = F.when(n_tg > 0,
+                        1.0 - F.size(F.array_distinct(tgs)) / n_tg
+                        ).otherwise(F.lit(0.0))
+        counts = {}
+        for lang, markers in LANG_MARKERS.items():
+            arr = F.array(*[F.lit(m) for m in markers])
+            counts[lang] = F.size(
+                F.filter(toks, lambda x: F.array_contains(arr, x)))
+        lang_pred = (
+            F.when((counts["de"] > counts["en"])
+                   & (counts["de"] >= counts["fr"]), "de")
+            .when((counts["fr"] > counts["en"])
+                  & (counts["fr"] > counts["de"]), "fr")
+            .otherwise("en"))
+        return F.struct(
+            filt_n.alias("n_tokens"), n_ws.alias("n_ws"),
+            n_bpe.alias("n_bpe"), n_chars.alias("n_chars"),
+            F.round(alpha, 6).alias("alpha_ratio"),
+            F.round(stop_ratio, 6).alias("stop_ratio"),
+            F.round(quality, 6).alias("quality"),
+            F.size(bgs).cast("long").alias("n_bigrams"),
+            F.round(top_bg, 6).alias("top_bigram_frac"),
+            F.round(dup_tg, 6).alias("dup_trigram_frac"),
+            lang_pred.alias("lang_pred"))
+
+    prof = F.element_at(
+        F.transform(F.array(_raw_tokens(t)), mk), 1).alias("_p")
+    return docs.select("doc_id", prof).select("doc_id", "_p.*")
+
+
+def text_profile_sql() -> str:
+    """DuckDB twin: the individual operators' own SQL twins joined on
+    doc_id (results, not plan shape)."""
+    return f"""
+SELECT t.doc_id, t.n_tokens, t.n_ws, t.n_bpe,
+       q.n_chars, q.alpha_ratio, q.stop_ratio, q.quality,
+       r.n_bigrams, r.top_bigram_frac, r.dup_trigram_frac, l.lang_pred
+FROM ({token_counts_sql()}) t
+JOIN ({quality_scores_sql()}) q USING (doc_id)
+JOIN ({repetition_scores_sql()}) r USING (doc_id)
+JOIN ({lang_id_sql()}) l ON t.doc_id = l.doc_id
+"""
+
+
 def fingerprints(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Order-insensitive 56-bit content fingerprint per doc."""
     t = F.coalesce(F.col(text_col), F.lit(""))

@@ -38,3 +38,27 @@ def test_bpe_engines_agree():
         n = con.execute(
             f"SELECT len(regexp_extract_all('{lit}', '{pat}'))").fetchone()[0]
         assert n == want, f"duckdb {t!r}: got {n}, want {want}"
+
+
+def test_text_profile_matches_individual_ops(spark):
+    """The fused one-pass profile is column-identical to the four
+    standalone operators, including empty/short docs."""
+    from easy_solr4files_index_spark.functions.textstats import (
+        lang_id, quality_scores, repetition_scores, text_profile, token_counts)
+
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        [(0, "der die das und ist the spark join"),
+         (1, "a b a b a b"), (2, ""), (3, None), (4, "solo")],
+        "doc_id long, text string").withColumn("lang", F.lit("xx"))
+    prof = {r["doc_id"]: r.asDict() for r in text_profile(docs).collect()}
+    for op, cols in [(token_counts, ("n_tokens", "n_ws", "n_bpe")),
+                     (quality_scores, ("n_chars", "alpha_ratio",
+                                       "stop_ratio", "quality")),
+                     (repetition_scores, ("n_bigrams", "top_bigram_frac",
+                                          "dup_trigram_frac")),
+                     (lang_id, ("lang_pred",))]:
+        for r in op(docs).collect():
+            for c in cols:
+                assert prof[r["doc_id"]][c] == r[c], (r["doc_id"], c)
