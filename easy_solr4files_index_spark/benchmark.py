@@ -741,6 +741,18 @@ def run_pipeline(cpus: int, n_docs: int = 200_000, dim: int = 32,
         out["repetition_docs_per_sec"] = round(
             n_total / out["repetition_sec"], 1)
 
+        # fused one-pass profile: all four signal families per doc
+        from .functions.textstats import text_profile
+        times = []
+        for _ in range(search_reps):
+            t0 = time.perf_counter()
+            text_profile(docs).agg(
+                F.sum("n_tokens"), F.avg("quality"),
+                F.avg("top_bigram_frac"), F.count("lang_pred")).collect()
+            times.append(time.perf_counter() - t0)
+        out["profile_sec"] = round(min(times), 2)
+        out["profile_docs_per_sec"] = round(n_total / out["profile_sec"], 1)
+
         # end-to-end curation: gates (one map pass) + min_by exact dedup
         # + snippet decontamination — the full pretraining-corpus prep
         from .functions.curation import CurationConfig, curate
@@ -881,6 +893,7 @@ same VM-noise caveats as every harness here).
 | dedup_apply (LSH→verify→components→keep), {p['dedup_docs']} docs, {p['dedup_dropped']} dropped | {p['dedup_apply_sec']} | {p['dedup_docs_per_sec']} docs/s | — |
 | contamination_pairs (3-gram containment ≥0.8, ~{p['n_docs'] // 997} snippet eval items, {p.get('contamination_hits', '—')} hits) | {p.get('contamination_sec', '—')} | {p.get('contamination_docs_per_sec', '—')} docs/s | — |
 | repetition_scores (map-only Gopher top-bigram/dup-trigram fold) | {p.get('repetition_sec', '—')} | {p.get('repetition_docs_per_sec', '—')} docs/s | — |
+| text_profile (ALL 12 signal columns, one fused map pass) | {p.get('profile_sec', '—')} | {p.get('profile_docs_per_sec', '—')} docs/s | — |
 | curate end-to-end (gates + min_by dedup + decontaminate, kept {p.get('curate_kept', '—')}) | {p.get('curate_sec', '—')} | {p.get('curate_docs_per_sec', '—')} docs/s | — |
 | ivf_build (64 cells, 2 kmeans iters) | {p['ivf_build_sec']} | — | — |
 | ivf_search (k=10, nprobe=8, {p['n_queries']} queries) | {p['ivf_search_sec']} | {p['ivf_search_qps']} q/s | {p.get('ivf_recall_at10', '—')} |

@@ -177,6 +177,25 @@ def main() -> None:
                                        exclude_self=False)),
     ))
 
+    from easy_solr4files_index_spark.functions.curation import (
+        CurationConfig, curate)
+    sections.append((
+        "Curation gate + min_by dedup (round-4)",
+        "`curate(docs, CurationConfig(min_quality=.5, min_tokens=5, "
+        "max_top_bigram=.5, langs=('en',)))`.\n"
+        "Look for: in the `Filter`, the tokenizer chain "
+        "(`regexp_replace`/`split`/`filter`) appears EXACTLY ONCE — inside "
+        "`transform(array(...), lambdafunction(...))` — with every gate "
+        "term reading the bound `lambda` variable (the naive "
+        "withColumn+filter formulation lets filter-through-project "
+        "pushdown inline the chain into all ~10 references; SURVEY.md "
+        "§10.3). Above it, ONE `HashAggregate(keys=[_h], min_by(...))` "
+        "(partial_min_by below the exchange = map-side-combined winner "
+        "selection), and NO other Exchange.",
+        fmt(curate(raw, CurationConfig(min_quality=0.5, min_tokens=5,
+                                       max_top_bigram=0.5, langs=("en",)))),
+    ))
+
     sections.append((
         "Repetition quality signals — map-only (round-4)",
         "`repetition_scores(docs)` (Gopher top-bigram / dup-trigram "

@@ -55,6 +55,7 @@ def merge(runs: list[dict]) -> dict:
             out[qps_k] = round(n_q / out[sk], 1)
     for base_k, dps_k in [("contamination", "contamination_docs_per_sec"),
                           ("repetition", "repetition_docs_per_sec"),
+                          ("profile", "profile_docs_per_sec"),
                           ("curate", "curate_docs_per_sec")]:
         sk = base_k + "_sec"
         if sk in out:
