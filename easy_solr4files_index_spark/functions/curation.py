@@ -123,6 +123,17 @@ def _gate_condition(cfg: CurationConfig, text: Column, toks: Column) -> Column:
     return cond
 
 
+def gate_predicate(cfg: CurationConfig, text_col: str = "text") -> Column:
+    """The keep-predicate as a standalone Column — STATELESS and
+    map-only, so it runs identically on a bounded corpus or an unbounded
+    stream (streaming/curate_gate.py). Token array lambda-bound once per
+    row (see curate below)."""
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    return F.element_at(
+        F.transform(F.array(tokenize_expr(text, stopwords=())),
+                    lambda toks: _gate_condition(cfg, text, toks)), 1)
+
+
 def curate(docs: DataFrame, cfg: CurationConfig = CurationConfig(),
            bench: DataFrame | None = None,
            text_col: str = "text") -> DataFrame:
@@ -131,19 +142,16 @@ def curate(docs: DataFrame, cfg: CurationConfig = CurationConfig(),
     ``exact_dup_groups`` keep rule); gates use the published rounded
     scores, so curate(docs) == the composed standalone operators."""
     cols = docs.columns
-    text = F.coalesce(F.col(text_col), F.lit(""))
-    # Bind the token array ONCE PER ROW through a higher-order lambda:
-    # a plain `withColumn("_toks", ...)` + filter gets rewritten by
-    # Catalyst's filter-through-project pushdown (replaceAlias), which
-    # INLINES the full tokenizer chain into every one of the predicate's
-    # ~10 token-array references — measured 20×+ regex blow-up at 200k
-    # docs (interpreted eval: the fold forces codegen fallback, so no
-    # subexpression elimination rescues it). Inside transform() the
-    # lambda variable is a cheap attribute; the tokenizer runs once.
-    keep = F.element_at(
-        F.transform(F.array(tokenize_expr(text, stopwords=())),
-                    lambda toks: _gate_condition(cfg, text, toks)), 1)
-    kept = docs.filter(keep)
+    # Bind the token array ONCE PER ROW through a higher-order lambda
+    # (gate_predicate): a plain `withColumn("_toks", ...)` + filter gets
+    # rewritten by Catalyst's filter-through-project pushdown
+    # (replaceAlias), which INLINES the full tokenizer chain into every
+    # one of the predicate's ~10 token-array references — measured 20×+
+    # regex blow-up at 200k docs (interpreted eval: the fold forces
+    # codegen fallback, so no subexpression elimination rescues it).
+    # Inside transform() the lambda variable is a cheap attribute; the
+    # tokenizer runs once.
+    kept = docs.filter(gate_predicate(cfg, text_col))
     if cfg.exact_dedup:
         kept = (kept.groupBy(F.md5(F.coalesce(F.col(text_col), F.lit("")))
                      .alias("_h"))
