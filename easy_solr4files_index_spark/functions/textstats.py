@@ -82,17 +82,24 @@ def quality_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
     t = F.coalesce(F.col(text_col), F.lit(""))
     n_chars = F.length(t)
     alpha = F.length(F.regexp_replace(t, "[^a-zA-Z]", "")) / F.greatest(n_chars, F.lit(1))
-    raw_n = F.size(_raw_tokens(t))
-    filt_n = F.size(tokenize_expr(t))
-    stop_ratio = (raw_n - filt_n) / F.greatest(raw_n, F.lit(1))
-    quality = (0.4 * alpha + 0.3 * (1.0 - stop_ratio)
-               + 0.3 * F.least(filt_n / F.lit(100.0), F.lit(1.0)))
+    stop_arr = F.array(*[F.lit(w) for w in LUCENE_STOPWORDS])
+
+    # token array lambda-bound once per row (see text_profile): inlining
+    # _raw_tokens per reference re-runs the tokenizer regex 2-3×
+    def mk(toks):
+        raw_n = F.size(toks)
+        filt_n = F.size(F.filter(toks, lambda x: ~F.array_contains(stop_arr, x)))
+        stop_ratio = (raw_n - filt_n) / F.greatest(raw_n, F.lit(1))
+        quality = (0.4 * alpha + 0.3 * (1.0 - stop_ratio)
+                   + 0.3 * F.least(filt_n / F.lit(100.0), F.lit(1.0)))
+        return F.struct(F.round(stop_ratio, 6).alias("stop_ratio"),
+                        F.round(quality, 6).alias("quality"))
+
+    p = F.element_at(F.transform(F.array(_raw_tokens(t)), mk), 1)
     return docs.select(
         "doc_id", n_chars.alias("n_chars"),
-        F.round(alpha, 6).alias("alpha_ratio"),
-        F.round(stop_ratio, 6).alias("stop_ratio"),
-        F.round(quality, 6).alias("quality"),
-    )
+        F.round(alpha, 6).alias("alpha_ratio"), p.alias("_p"),
+    ).select("doc_id", "n_chars", "alpha_ratio", "_p.stop_ratio", "_p.quality")
 
 
 def quality_scores_sql() -> str:
@@ -119,16 +126,24 @@ FROM b
 
 def lang_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
     t = F.coalesce(F.col(text_col), F.lit(""))
-    raw = _raw_tokens(t)
-    counts = {}
-    for lang, markers in LANG_MARKERS.items():
-        arr = F.array(*[F.lit(m) for m in markers])
-        counts[lang] = F.size(F.filter(raw, lambda x: F.array_contains(arr, x)))
-    pred = (
-        F.when((counts["de"] > counts["en"]) & (counts["de"] >= counts["fr"]), "de")
-        .when((counts["fr"] > counts["en"]) & (counts["fr"] > counts["de"]), "fr")
-        .otherwise("en")
-    )
+
+    # token array lambda-bound once per row: the marker counts reference
+    # the token array 8× across the CASE arms, and inlining _raw_tokens
+    # per reference re-ran the tokenizer regex 8× (measured in-plan)
+    def mk(toks):
+        counts = {}
+        for lang, markers in LANG_MARKERS.items():
+            arr = F.array(*[F.lit(m) for m in markers])
+            counts[lang] = F.size(
+                F.filter(toks, lambda x: F.array_contains(arr, x)))
+        return (
+            F.when((counts["de"] > counts["en"])
+                   & (counts["de"] >= counts["fr"]), "de")
+            .when((counts["fr"] > counts["en"])
+                  & (counts["fr"] > counts["de"]), "fr")
+            .otherwise("en"))
+
+    pred = F.element_at(F.transform(F.array(_raw_tokens(t)), mk), 1)
     return docs.select("doc_id", "lang", pred.alias("lang_pred"))
 
 
