@@ -701,11 +701,17 @@ def run_pipeline(cpus: int, n_docs: int = 200_000, dim: int = 32,
         docs = (corpus.unionByName(dupes)
                 .withColumn("doc_id", F.xxhash64("repo", "path"))
                 .select("doc_id", F.col("content").alias("text")))
-        t0 = time.perf_counter()
-        dd = dedup_apply(docs, threshold=0.6)
-        n_total = dd.count()
-        n_dropped = dd.filter(F.col("keep_doc_id") != F.col("doc_id")).count()
-        out["dedup_apply_sec"] = round(time.perf_counter() - t0, 2)
+        # min-of-reps like every other harness here (verify SKILL.md: this
+        # VM's timings swing 2-10×; the first trial additionally pays the
+        # cold parquet/page-cache read that is not the operator's cost)
+        times = []
+        for _ in range(search_reps):
+            t0 = time.perf_counter()
+            dd = dedup_apply(docs, threshold=0.6)
+            n_total = dd.count()
+            n_dropped = dd.filter(F.col("keep_doc_id") != F.col("doc_id")).count()
+            times.append(time.perf_counter() - t0)
+        out["dedup_apply_sec"] = round(min(times), 2)
         out["dedup_docs"] = n_total
         out["dedup_dropped"] = n_dropped
         out["dedup_docs_per_sec"] = round(n_total / out["dedup_apply_sec"], 1)
@@ -758,9 +764,12 @@ def run_pipeline(cpus: int, n_docs: int = 200_000, dim: int = 32,
         from .functions.curation import CurationConfig, curate
         cur_cfg = CurationConfig(min_tokens=10, max_top_bigram=0.5,
                                  max_dup_trigram=0.9)
-        t0 = time.perf_counter()
-        n_kept = curate(docs, cur_cfg, bench=bench_df).count()
-        out["curate_sec"] = round(time.perf_counter() - t0, 2)
+        times = []
+        for _ in range(search_reps):
+            t0 = time.perf_counter()
+            n_kept = curate(docs, cur_cfg, bench=bench_df).count()
+            times.append(time.perf_counter() - t0)
+        out["curate_sec"] = round(min(times), 2)
         out["curate_kept"] = n_kept
         out["curate_docs_per_sec"] = round(n_total / out["curate_sec"], 1)
 
