@@ -130,3 +130,29 @@ def test_pandas_scalar_concat_strips_nul():
     separator can move to \\x00 and the _BELOW_SEP guard can relax."""
     import pandas as pd
     assert (pd.Series(["a"]) + "\x00" + pd.Series(["b"])).iloc[0] == "ab"
+
+
+# ------------------------- repetition fold (textstats/curation _max_run)
+
+def test_max_run_fold_equals_counter_max(spark):
+    """The sorted-array longest-equal-run fold == the most frequent
+    element's count, over 300 seeded-random duplicate structures
+    (incl. empty and all-equal) evaluated in ONE Spark job."""
+    import random
+    from collections import Counter
+
+    from pyspark.sql import functions as F
+
+    from easy_solr4files_index_spark.functions.curation import _max_run
+
+    rng = random.Random(42)
+    cases = [[]] + [["x"] * 7] + [
+        [rng.choice("abcd") for _ in range(rng.randrange(0, 40))]
+        for _ in range(300)]
+    df = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(cases)], "i long, arr array<string>")
+    got = {r["i"]: r["m"] for r in
+           df.select("i", _max_run(F.col("arr")).alias("m")).collect()}
+    for i, c in enumerate(cases):
+        want = max(Counter(c).values()) if c else 0
+        assert got[i] == want, (i, c)
