@@ -678,6 +678,21 @@ def _q_mm_decode(spark, sf_dir):
         multimodal.attach_binary_payload(_docs_raw(spark, sf_dir)))
 
 
+def _q_mm_resize(spark, sf_dir):
+    """Vision-model preprocessing: aspect-preserving resize over the
+    image rows of a multimodal payload table (mapInPandas; decoder
+    stubbed, integer-exact fake dims, mime filter pushed to the scan)."""
+    return multimodal.resize_images(
+        multimodal.attach_media_payload(_docs_raw(spark, sf_dir)))
+
+
+def _q_mm_frames(spark, sf_dir):
+    """Video frame sampling: the 1→N mapInPandas batch shape (vectorized
+    np.repeat — one row per sampled frame), video mimes only."""
+    return multimodal.sample_frames(
+        multimodal.attach_media_payload(_docs_raw(spark, sf_dir)))
+
+
 def _q_windowed_agg(spark, sf_dir):
     """Watermarked tumbling-window aggregate (streaming/windowed.py) run
     on the bounded events table — the SAME logical plan the streaming
@@ -950,6 +965,10 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out = {name: _mk_search(p) for name, p in _EXTRA_SEARCHES.items()}
     out.update({
         "mm_decode_stub": _q_mm_decode,
+        # image resize / video frame-sampling plumbing (decoder stubbed,
+        # deterministic integer fakes — full hash oracles)
+        "mm_resize_stub": _q_mm_resize,
+        "mm_frames_stub": _q_mm_frames,
         # per-key quota twin of the in-window pipe_sample
         "pipe_cap_per_repo": _q_pipe_cap,
         # ts_token_count / ts_quality ⊂ ts_profile (column-identical
@@ -1147,6 +1166,8 @@ SELECT repo, path, lang, content_md5 FROM g WHERE rn = 1
     out["ann_signlsh_buckets"] = similarity.signlsh_buckets_sql(n_planes=4)
     out["dedup_embedding"] = similarity.embedding_near_dups_sql(threshold=0.4)
     out["mm_decode_stub"] = multimodal.decode_features_sql()
+    out["mm_resize_stub"] = multimodal.resize_images_sql()
+    out["mm_frames_stub"] = multimodal.sample_frames_sql()
     out["mm_extract_text"] = multimodal.extract_text_sql()
     from easy_solr4files_index_spark.streaming.windowed import (
         windowed_event_agg_sql)

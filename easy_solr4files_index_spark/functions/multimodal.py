@@ -95,6 +95,163 @@ def decode_features(with_payload: DataFrame, use_real_decoder: bool = False) -> 
         "doc_id long, mime string, byte_len long, width long, height long, gated boolean")
 
 
+# media-flavored payload for the image/video preprocessing ops (the gate
+# ops above keep the reference's extraction mimes; these model the
+# multimodal columns of a training table)
+_MEDIA_MIMES = ("image/png", "image/jpeg", "video/mp4", "audio/wav")
+
+
+def attach_media_payload(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """documents -> (doc_id, mime, payload binary) with image/video/audio
+    mimes — the multimodal-table stand-in for resize/frame-sampling."""
+    mimes = F.array(*[F.lit(m) for m in _MEDIA_MIMES])
+    return docs.select(
+        "doc_id",
+        F.element_at(
+            mimes, (F.col("doc_id") % len(_MEDIA_MIMES) + 1).cast("int")
+        ).alias("mime"),
+        F.encode(F.coalesce(F.col(text_col), F.lit("")), "UTF-8").alias("payload"))
+
+
+def resize_images(with_payload: DataFrame, out_w: int = 224,
+                  out_h: int = 224,
+                  use_real_decoder: bool = False) -> DataFrame:
+    """(doc_id, mime, width, height, out_width, out_height, out_bytes) —
+    aspect-preserving fit of each image into an (out_w, out_h) box, the
+    standard vision-model preprocessing step, as an Arrow-batched
+    mapInPandas kernel over the binary column.
+
+    The pixel work is the stubbed decoder boundary (real_image_decode);
+    the deterministic fake path uses pure INTEGER arithmetic (floor-div
+    aspect fit) so the DuckDB twin reproduces it bit-for-bit — the Spark
+    plumbing (binary batches in, vectorized pandas ops, typed schema
+    out, image-mime restriction) is the real 100 TB shape. Non-image
+    mimes are filtered BEFORE the Python boundary (Catalyst predicate
+    pushed to the scan)."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if use_real_decoder:
+                raise NotImplementedError(
+                    "real decoder unavailable; see real_image_decode")
+            n = pdf["payload"].map(len).astype("int64")
+            w = n % 640
+            h = (n * 7) % 480
+            # integer aspect fit into (out_w, out_h); degenerate dims -> 0x0
+            height_limited = (w * out_h) <= (h * out_w)
+            ow = height_limited * (w * out_h // h.clip(lower=1)) \
+                + (~height_limited) * out_w
+            oh = height_limited * out_h \
+                + (~height_limited) * (h * out_w // w.clip(lower=1))
+            degenerate = (w == 0) | (h == 0)
+            ow = ow.where(~degenerate, 0)
+            oh = oh.where(~degenerate, 0)
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"], "mime": pdf["mime"],
+                "width": w, "height": h,
+                "out_width": ow.astype("int64"),
+                "out_height": oh.astype("int64"),
+                "out_bytes": (ow * oh * 3).astype("int64"),  # RGB estimate
+            })
+
+    imgs = with_payload.filter(F.col("mime").startswith("image/"))
+    return imgs.mapInPandas(
+        kernel, "doc_id long, mime string, width long, height long, "
+                "out_width long, out_height long, out_bytes long")
+
+
+def resize_images_sql(out_w: int = 224, out_h: int = 224) -> str:
+    mimes = ", ".join(f"'{m}'" for m in _MEDIA_MIMES)
+    return f"""
+WITH m AS (
+  SELECT doc_id,
+         ([{mimes}])[CAST(doc_id % {len(_MEDIA_MIMES)} AS INT) + 1] AS mime,
+         octet_length(encode(coalesce(text, ''))) AS n
+  FROM documents
+),
+d AS (
+  SELECT doc_id, mime, n % 640 AS w, (n * 7) % 480 AS h FROM m
+  WHERE mime LIKE 'image/%'
+),
+f AS (
+  SELECT *, (w * {out_h}) <= (h * {out_w}) AS hl FROM d
+)
+SELECT doc_id, mime,
+       CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+       CAST(CASE WHEN w = 0 OR h = 0 THEN 0
+                 WHEN hl THEN w * {out_h} // greatest(h, 1)
+                 ELSE {out_w} END AS BIGINT) AS out_width,
+       CAST(CASE WHEN w = 0 OR h = 0 THEN 0
+                 WHEN hl THEN {out_h}
+                 ELSE h * {out_w} // greatest(w, 1) END AS BIGINT) AS out_height,
+       CAST(CASE WHEN w = 0 OR h = 0 THEN 0
+                 WHEN hl THEN (w * {out_h} // greatest(h, 1)) * {out_h} * 3
+                 ELSE {out_w} * (h * {out_w} // greatest(w, 1)) * 3
+            END AS BIGINT) AS out_bytes
+FROM f
+"""
+
+
+def sample_frames(with_payload: DataFrame, frame_ms: int = 40,
+                  use_real_decoder: bool = False) -> DataFrame:
+    """(doc_id, mime, frame_idx, ts_ms, frame_bytes) — one row per
+    sampled video frame: the 1→N batch shape (an output batch larger
+    than its input batch) that frame extraction needs, via vectorized
+    ``np.repeat`` inside mapInPandas — no per-row Python.
+
+    Real ffmpeg decode sits behind the stub boundary; the deterministic
+    fake derives n_frames from the payload length (byte_len % 5 + 1), so
+    the DuckDB twin (range unnest) reproduces the exact row set. Only
+    video mimes cross the Python boundary."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+        for pdf in batches:
+            if use_real_decoder:
+                raise NotImplementedError(
+                    "real decoder unavailable; see real_image_decode")
+            n = pdf["payload"].map(len).astype("int64")
+            n_frames = (n % 5 + 1).to_numpy()
+            idx = np.repeat(np.arange(len(pdf)), n_frames)
+            frame_idx = np.concatenate(
+                [np.arange(k) for k in n_frames]) if len(pdf) else np.array([], dtype="int64")
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"].to_numpy()[idx],
+                "mime": pdf["mime"].to_numpy()[idx],
+                "frame_idx": frame_idx.astype("int64"),
+                "ts_ms": (frame_idx * frame_ms).astype("int64"),
+                "frame_bytes": (n.to_numpy()[idx]
+                                // n_frames[idx]).astype("int64"),
+            })
+
+    vids = with_payload.filter(F.col("mime").startswith("video/"))
+    return vids.mapInPandas(
+        kernel, "doc_id long, mime string, frame_idx long, ts_ms long, "
+                "frame_bytes long")
+
+
+def sample_frames_sql(frame_ms: int = 40) -> str:
+    mimes = ", ".join(f"'{m}'" for m in _MEDIA_MIMES)
+    return f"""
+WITH m AS (
+  SELECT doc_id,
+         ([{mimes}])[CAST(doc_id % {len(_MEDIA_MIMES)} AS INT) + 1] AS mime,
+         octet_length(encode(coalesce(text, ''))) AS n
+  FROM documents
+),
+v AS (SELECT * FROM m WHERE mime LIKE 'video/%'),
+fr AS (
+  SELECT doc_id, mime, n, n % 5 + 1 AS n_frames,
+         unnest(range(0, n % 5 + 1)) AS frame_idx
+  FROM v
+)
+SELECT doc_id, mime, CAST(frame_idx AS BIGINT) AS frame_idx,
+       CAST(frame_idx * {frame_ms} AS BIGINT) AS ts_ms,
+       CAST(n // n_frames AS BIGINT) AS frame_bytes
+FROM fr
+"""
+
+
 # ---------------------------------------------------------------------------
 # S8 real text extraction (the Tika-equivalent for text mimes)
 #

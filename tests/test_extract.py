@@ -150,3 +150,65 @@ def test_extracted_corpus_indexes_end_to_end(spark):
     got = (idx.docs_store.filter(F.col("meta_only")).select("lang")
            .distinct().collect())
     assert {r["lang"] for r in got} >= {"image/png"}
+
+
+# ----------------------- resize / frame-sample plumbing (brief: decode /
+# feature-extract / resize / frame-sample behind the stub boundary)
+
+def test_resize_aspect_fit_and_mime_filter(spark):
+    from easy_solr4files_index_spark.functions.multimodal import (
+        attach_media_payload, resize_images)
+
+    docs = spark.createDataFrame(
+        [(0, "x" * 1280), (1, "y" * 100), (2, "v" * 50), (3, "a" * 10)],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           resize_images(attach_media_payload(docs), 224, 224).collect()}
+    # only image mimes (doc_id % 4 in {0, 1}) cross the Python boundary
+    assert set(out) == {0, 1}
+    for r in out.values():
+        w, h, ow, oh = r["width"], r["height"], r["out_width"], r["out_height"]
+        if w and h:
+            assert max(ow, oh) <= 224 and (ow == 224 or oh == 224)
+            # aspect preserved within integer floor error
+            assert abs(ow * h - oh * w) < max(w, h)
+            assert r["out_bytes"] == ow * oh * 3
+        else:
+            assert (ow, oh, r["out_bytes"]) == (0, 0, 0)
+
+
+def test_sample_frames_one_to_n(spark):
+    from easy_solr4files_index_spark.functions.multimodal import (
+        attach_media_payload, sample_frames)
+
+    docs = spark.createDataFrame(
+        [(2, "v" * 13), (6, "w" * 9), (10, "z" * 5), (0, "img" * 4)],
+        "doc_id long, text string")
+    rows = sample_frames(attach_media_payload(docs)).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # only video mime (doc_id % 4 == 2)
+    assert set(by_doc) == {2, 6, 10}
+    for doc_id, fr in by_doc.items():
+        n = {2: 13, 6: 9, 10: 5}[doc_id]
+        assert len(fr) == n % 5 + 1                      # 1 -> N expansion
+        idxs = sorted(r["frame_idx"] for r in fr)
+        assert idxs == list(range(n % 5 + 1))
+        assert all(r["ts_ms"] == r["frame_idx"] * 40 for r in fr)
+        assert all(r["frame_bytes"] == n // (n % 5 + 1) for r in fr)
+
+
+def test_real_decoder_paths_raise(spark):
+    import pytest as _pytest
+
+    from easy_solr4files_index_spark.functions.multimodal import (
+        attach_media_payload, resize_images, sample_frames)
+
+    docs = spark.createDataFrame([(0, "abc")], "doc_id long, text string")
+    with _pytest.raises(Exception, match="real decoder unavailable"):
+        resize_images(attach_media_payload(docs),
+                      use_real_decoder=True).collect()
+    with _pytest.raises(Exception, match="real decoder unavailable"):
+        sample_frames(attach_media_payload(docs.withColumn(
+            "doc_id", docs.doc_id + 2)), use_real_decoder=True).collect()
