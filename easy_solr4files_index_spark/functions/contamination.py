@@ -91,12 +91,14 @@ def snippet_bench(docs: DataFrame, modulus: int = 83, k_tokens: int = 15,
 
 
 def decontaminate(docs: DataFrame, bench: DataFrame, n: int = 3,
-                  threshold: float = 0.5,
-                  text_col: str = "text") -> DataFrame:
+                  threshold: float = 0.5, text_col: str = "text",
+                  exclude_self: bool = True) -> DataFrame:
     """The corpus minus every contaminated document (left_anti against
-    the detector's doc_id set) — the shippable training corpus."""
+    the detector's doc_id set) — the shippable training corpus.
+    ``exclude_self`` as in contamination_pairs (False when bench ids are
+    their own namespace)."""
     hits = (contamination_pairs(docs, bench, n=n, threshold=threshold,
-                                text_col=text_col)
+                                text_col=text_col, exclude_self=exclude_self)
             .select("doc_id").distinct())
     return docs.join(hits, "doc_id", "left_anti")
 
