@@ -280,43 +280,54 @@ def text_profile(docs: DataFrame, text_col: str = "text") -> DataFrame:
     alpha = (F.length(F.regexp_replace(t, "[^a-zA-Z]", ""))
              / F.greatest(n_chars, F.lit(1)))
 
-    def mk(toks):
-        raw_n = F.size(toks)
-        filt_n = F.size(F.filter(toks, lambda x: ~F.array_contains(stop_arr, x)))
-        stop_ratio = (raw_n - filt_n) / F.greatest(raw_n, F.lit(1))
-        quality = (0.4 * alpha + 0.3 * (1.0 - stop_ratio)
-                   + 0.3 * F.least(filt_n / F.lit(100.0), F.lit(1.0)))
-        bgs, tgs = _ngram_arr(toks, 2), _ngram_arr(toks, 3)
-        n_bg, n_tg = F.size(bgs), F.size(tgs)
-        top_bg = F.when(n_bg > 0, _max_run(bgs) / n_bg).otherwise(F.lit(0.0))
-        dup_tg = F.when(n_tg > 0,
-                        1.0 - F.size(F.array_distinct(tgs)) / n_tg
-                        ).otherwise(F.lit(0.0))
-        counts = {}
-        for lang, markers in LANG_MARKERS.items():
-            arr = F.array(*[F.lit(m) for m in markers])
-            counts[lang] = F.size(
-                F.filter(toks, lambda x: F.array_contains(arr, x)))
-        lang_pred = (
-            F.when((counts["de"] > counts["en"])
-                   & (counts["de"] >= counts["fr"]), "de")
-            .when((counts["fr"] > counts["en"])
-                  & (counts["fr"] > counts["de"]), "fr")
-            .otherwise("en"))
-        return F.struct(
-            filt_n.alias("n_tokens"), n_ws.alias("n_ws"),
-            n_bpe.alias("n_bpe"), n_chars.alias("n_chars"),
-            F.round(alpha, 6).alias("alpha_ratio"),
-            F.round(stop_ratio, 6).alias("stop_ratio"),
-            F.round(quality, 6).alias("quality"),
-            F.size(bgs).cast("long").alias("n_bigrams"),
-            F.round(top_bg, 6).alias("top_bigram_frac"),
-            F.round(dup_tg, 6).alias("dup_trigram_frac"),
-            lang_pred.alias("lang_pred"))
-
-    prof = F.element_at(
-        F.transform(F.array(_raw_tokens(t)), mk), 1).alias("_p")
-    return docs.select("doc_id", prof).select("doc_id", "_p.*")
+    # LAYERED projections, not one fused lambda: stage 1 holds every
+    # regex (tokenizer, BPE, alpha) and stays inside whole-stage codegen
+    # — a single expression containing the run-length fold would drag the
+    # regexes into interpreted eval (HOFs have no codegen). Stage 2+
+    # reference the materialized `_toks` attribute many times, which is
+    # SAFE here: Project-over-Project collapse refuses multi-reference
+    # non-cheap merges (it is specifically FILTER pushdown that inlines
+    # unconditionally — the curate-gate pitfall, SURVEY §10.3).
+    s1 = docs.select(
+        "doc_id", _raw_tokens(t).alias("_toks"),
+        n_ws.alias("n_ws"), n_bpe.alias("n_bpe"), n_chars.alias("n_chars"),
+        alpha.alias("_alpha"))
+    toks = F.col("_toks")
+    counts = {}
+    for lang, markers in LANG_MARKERS.items():
+        arr = F.array(*[F.lit(m) for m in markers])
+        counts[lang] = F.size(F.filter(toks, lambda x: F.array_contains(arr, x)))
+    s2 = s1.select(
+        "doc_id", "n_ws", "n_bpe", "n_chars", "_alpha",
+        F.size(toks).alias("_raw_n"),
+        F.size(F.filter(toks, lambda x: ~F.array_contains(stop_arr, x))
+               ).alias("n_tokens"),
+        _ngram_arr(toks, 2).alias("_bgs"),
+        _ngram_arr(toks, 3).alias("_tgs"),
+        (F.when((counts["de"] > counts["en"])
+                & (counts["de"] >= counts["fr"]), "de")
+         .when((counts["fr"] > counts["en"])
+               & (counts["fr"] > counts["de"]), "fr")
+         .otherwise("en")).alias("lang_pred"))
+    stop_ratio = ((F.col("_raw_n") - F.col("n_tokens"))
+                  / F.greatest(F.col("_raw_n"), F.lit(1)))
+    quality = (0.4 * F.col("_alpha") + 0.3 * (1.0 - stop_ratio)
+               + 0.3 * F.least(F.col("n_tokens") / F.lit(100.0), F.lit(1.0)))
+    n_bg, n_tg = F.size(F.col("_bgs")), F.size(F.col("_tgs"))
+    top_bg = F.when(n_bg > 0, _max_run(F.col("_bgs")) / n_bg
+                    ).otherwise(F.lit(0.0))
+    dup_tg = F.when(n_tg > 0,
+                    1.0 - F.size(F.array_distinct(F.col("_tgs"))) / n_tg
+                    ).otherwise(F.lit(0.0))
+    return s2.select(
+        "doc_id", "n_tokens", "n_ws", "n_bpe", "n_chars",
+        F.round(F.col("_alpha"), 6).alias("alpha_ratio"),
+        F.round(stop_ratio, 6).alias("stop_ratio"),
+        F.round(quality, 6).alias("quality"),
+        n_bg.cast("long").alias("n_bigrams"),
+        F.round(top_bg, 6).alias("top_bigram_frac"),
+        F.round(dup_tg, 6).alias("dup_trigram_frac"),
+        "lang_pred")
 
 
 def text_profile_sql() -> str:
