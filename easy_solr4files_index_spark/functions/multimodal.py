@@ -105,10 +105,13 @@ def attach_media_payload(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """documents -> (doc_id, mime, payload binary) with image/video/audio
     mimes — the multimodal-table stand-in for resize/frame-sampling."""
     mimes = F.array(*[F.lit(m) for m in _MEDIA_MIMES])
+    # pmod, not %: Spark % keeps the dividend's sign, so a negative
+    # doc_id (hashed-id corpora) would index 0 — a runtime error
     return docs.select(
         "doc_id",
         F.element_at(
-            mimes, (F.col("doc_id") % len(_MEDIA_MIMES) + 1).cast("int")
+            mimes, (F.pmod(F.col("doc_id"), F.lit(len(_MEDIA_MIMES))) + 1)
+            .cast("int")
         ).alias("mime"),
         F.encode(F.coalesce(F.col(text_col), F.lit("")), "UTF-8").alias("payload"))
 
@@ -165,7 +168,7 @@ def resize_images_sql(out_w: int = 224, out_h: int = 224) -> str:
     return f"""
 WITH m AS (
   SELECT doc_id,
-         ([{mimes}])[CAST(doc_id % {len(_MEDIA_MIMES)} AS INT) + 1] AS mime,
+         ([{mimes}])[CAST(((doc_id % {len(_MEDIA_MIMES)}) + {len(_MEDIA_MIMES)}) % {len(_MEDIA_MIMES)} AS INT) + 1] AS mime,
          octet_length(encode(coalesce(text, ''))) AS n
   FROM documents
 ),
@@ -235,7 +238,7 @@ def sample_frames_sql(frame_ms: int = 40) -> str:
     return f"""
 WITH m AS (
   SELECT doc_id,
-         ([{mimes}])[CAST(doc_id % {len(_MEDIA_MIMES)} AS INT) + 1] AS mime,
+         ([{mimes}])[CAST(((doc_id % {len(_MEDIA_MIMES)}) + {len(_MEDIA_MIMES)}) % {len(_MEDIA_MIMES)} AS INT) + 1] AS mime,
          octet_length(encode(coalesce(text, ''))) AS n
   FROM documents
 ),

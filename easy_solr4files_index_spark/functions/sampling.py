@@ -51,7 +51,9 @@ def hash_sample(docs: DataFrame, rate: float, salt: str = "",
     """Deterministic Bernoulli sample: keep iff
     ``pmod(md5int(cols, salt), 1e6) < rate * 1e6``. Map-only; exactly
     reproducible for a given (data, cols, salt, rate)."""
-    keep = F.pmod(_hash_col(cols, salt), F.lit(_M)) < int(rate * _M)
+    # round, not int: int(0.3 * 1e6) truncates the binary-float product
+    # to 299999 — a realized rate a hair below nominal (ADVICE r4)
+    keep = F.pmod(_hash_col(cols, salt), F.lit(_M)) < round(rate * _M)
     return docs.filter(keep)
 
 
@@ -59,7 +61,7 @@ def hash_sample_sql(rate: float, salt: str = "",
                     cols: tuple[str, ...] = ("doc_id",),
                     source: str = "documents") -> str:
     return (f"SELECT * FROM {source} "
-            f"WHERE {_hash_sql(cols, salt)} % {_M} < {int(rate * _M)}")
+            f"WHERE {_hash_sql(cols, salt)} % {_M} < {round(rate * _M)}")
 
 
 def cap_per_key(docs: DataFrame, key: str, n: int,

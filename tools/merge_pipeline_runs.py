@@ -32,10 +32,13 @@ def merge(runs: list[dict]) -> dict:
             if r.get(k) != base.get(k):
                 raise SystemExit(f"refusing to merge: {k} differs "
                                  f"({base.get(k)} vs {r.get(k)})")
-        for k in _EXACT:
-            vals = {x.get(k) for x in (base, r) if k in x}
-            if len(vals) > 1:
-                raise SystemExit(f"refusing to merge: result {k} differs {vals}")
+    # exact-count keys must agree across ALL runs that carry them — a
+    # pairwise-vs-base check would let two later runs conflict silently
+    # when the base predates the key (ADVICE r4)
+    for k in _EXACT:
+        vals = {r[k] for r in runs if k in r}
+        if len(vals) > 1:
+            raise SystemExit(f"refusing to merge: result {k} differs {vals}")
     out = dict(base)
     for r in runs[1:]:
         for k, v in r.items():
