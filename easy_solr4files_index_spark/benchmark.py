@@ -866,6 +866,40 @@ def run_pipeline(cpus: int, n_docs: int = 200_000, dim: int = 32,
         out["ivfpq_batch_recall_at10"] = _recall(ivfpq_search_batch(
             ivfpq, emb, qdf, k=10, nprobe=8, shortlist=50))
 
+        # --- residual IVFADC (FAISS-standard: quantize x_n − c_n) ------
+        # the recall fix for the weak non-residual default dial (m=8 +
+        # residual encoding at the SAME nprobe/shortlist)
+        res_dir = tempfile.mkdtemp(prefix="fts_bench_ivfpqres_")
+        tmp_dirs.append(res_dir)
+        t0 = time.perf_counter()
+        ivfpq_res = ivfpq_build(spark, emb, res_dir, n_centroids=n_cent,
+                                m=8, ksub=64, kmeans_iters=2,
+                                train_iters=2, residual=True)
+        out["ivfpq_res_build_sec"] = round(time.perf_counter() - t0, 2)
+        times = []
+        for _ in range(search_reps):
+            t0 = time.perf_counter()
+            n_r = ivfpq_search(ivfpq_res, emb, qids, k=10, nprobe=8,
+                               shortlist=50).count()
+            times.append(time.perf_counter() - t0)
+        out["ivfpq_res_search_sec"] = round(min(times), 2)
+        out["ivfpq_res_search_rows"] = n_r
+        out["ivfpq_res_qps"] = round(n_queries / out["ivfpq_res_search_sec"], 1)
+        out["ivfpq_res_recall_at10"] = _recall(
+            ivfpq_search(ivfpq_res, emb, qids, k=10, nprobe=8, shortlist=50))
+        times = []
+        for _ in range(search_reps):
+            t0 = time.perf_counter()
+            n_rb = ivfpq_search_batch(ivfpq_res, emb, qdf, k=10, nprobe=8,
+                                      shortlist=50).count()
+            times.append(time.perf_counter() - t0)
+        out["ivfpq_res_batch_sec"] = round(min(times), 2)
+        out["ivfpq_res_batch_rows"] = n_rb
+        out["ivfpq_res_batch_qps"] = round(
+            n_queries / out["ivfpq_res_batch_sec"], 1)
+        out["ivfpq_res_batch_recall_at10"] = _recall(ivfpq_search_batch(
+            ivfpq_res, emb, qdf, k=10, nprobe=8, shortlist=50))
+
         # --- ANN incremental maintenance: O(new) append vs full build,
         # O(touched-cells) delete+compact ------------------------------
         from .functions.ivfpq import ivfpq_append, ivfpq_compact, ivfpq_delete
@@ -911,6 +945,9 @@ same VM-noise caveats as every harness here).
 | ivfpq_search quality point (nprobe 24, shortlist 300) | {p.get('ivfpq_hq_search_sec', '—')} | {p.get('ivfpq_hq_qps', '—')} q/s | {p.get('ivfpq_hq_recall_at10', '—')} |
 | pq_search_rerank_batch (batch-DataFrame ADC path) | {p['pq_batch_rerank_sec']} | {p['pq_batch_qps']} q/s | {p.get('pq_batch_recall_at10', '—')} |
 | ivfpq_search_batch (batch-DataFrame IVFADC: pruned cells + in-kernel probe/LUTs) | {p.get('ivfpq_batch_sec', '—')} | {p.get('ivfpq_batch_qps', '—')} q/s | {p.get('ivfpq_batch_recall_at10', '—')} |
+| ivfpq_res_build (RESIDUAL x_n−c_n, m=8, ksub=64) | {p.get('ivfpq_res_build_sec', '—')} | — | — |
+| ivfpq_res_search (residual ADC, SAME dials: nprobe 8, shortlist 50) | {p.get('ivfpq_res_search_sec', '—')} | {p.get('ivfpq_res_qps', '—')} q/s | {p.get('ivfpq_res_recall_at10', '—')} |
+| ivfpq_res_search_batch (residual batch kernel, same dials) | {p.get('ivfpq_res_batch_sec', '—')} | {p.get('ivfpq_res_batch_qps', '—')} q/s | {p.get('ivfpq_res_batch_recall_at10', '—')} |
 | ivfpq_append 10k vectors (frozen centroids/books, {p.get('ivfpq_append_vs_build', '—')}× of a full build) | {p.get('ivfpq_append_10k_sec', '—')} | — | — |
 | ivfpq_delete 1k + compact (touched-cell rewrite only) | {p.get('ivfpq_delete_compact_sec', '—')} | — | — |
 

@@ -1,6 +1,6 @@
 """IVF+PQ: the composed production ANN index (FAISS-style IVFADC shape,
-non-residual variant) — the two scale axes of this repo's ANN family in
-one layout:
+non-residual AND residual variants) — the two scale axes of this repo's
+ANN family in one layout:
 
   * I/O axis (functions/ivf.py): the corpus is written ONCE partitioned
     by ``centroid_id``; a query reads only its nprobe probed cells via a
@@ -28,6 +28,21 @@ window ranks ≤ shortlist × |queries| × n_partitions rows.
 Algorithm is the standard IVFADC construction (Jégou et al., TPAMI 2011
 — public literature). The reference repo has no ANN surface; this family
 comes from the training-data-pipeline brief.
+
+RESIDUAL encoding (``residual=True``, the FAISS-standard composition,
+VERDICT r04 #1): the PQ codebooks quantize x_n − c_n (the normalized
+vector minus its assigned normalized centroid) instead of x_n itself.
+Residuals concentrate near the origin with far less variance than the
+raw vectors, so the same m×ksub code budget spends its precision on the
+informative part — default-dial recall roughly doubles at the same probe
+cost (BENCH/PIPELINE.md). Query-side the ADC target becomes per-(query,
+cell): d2 ≈ ‖(q_n − c_n) − r̂‖², so LUTs are built per probed cell
+rather than once per query — still in-kernel and vectorized; a batch
+partition holds one cell directory's rows, so the per-cell LUT work is
+~one extra chunk×ksub×dim matmul per partition. Exactness dials
+(nprobe = all, shortlist ≥ corpus) remain rank-identical to brute force
+for BOTH variants because the re-rank is exact cosine regardless of code
+quality (CORRECTNESS `ann_ivfpq_res`).
 """
 
 from __future__ import annotations
@@ -45,37 +60,66 @@ from .similarity import _as_double, _dot, _norm
 _PQ_META = "pq_books.json"
 
 
+def _residuals(cells: DataFrame, centroids: DataFrame) -> DataFrame:
+    """(vec_id, rv array<double>, centroid_id): rv = v/‖v‖ − c/‖c‖ — the
+    residual the FAISS-standard IVFADC quantizes. Pure Catalyst
+    (broadcast centroid join + zip_with), pipelined inside the cells
+    scan; never re-normalized (see pq_train normalize=False)."""
+    from .pq import _normalized
+
+    return (cells.join(F.broadcast(centroids), "centroid_id")
+            .select("vec_id",
+                    F.zip_with(_normalized(F.col("v")),
+                               _normalized(F.col("cv")),
+                               lambda a, b: a - b).alias("rv"),
+                    "centroid_id"))
+
+
 def ivfpq_build(spark: SparkSession, emb: DataFrame, index_dir: str,
                 n_centroids: int = 8, m: int = 4, ksub: int = 16,
                 kmeans_iters: int = 0, train_iters: int = 3,
                 vec_col: str = "embedding", id_col: str = "vec_id",
-                ) -> "IvfPqIndex":
+                residual: bool = False) -> "IvfPqIndex":
     """Build = the IVF cell layout (one assignment pass, partitioned
     write) + PQ codebooks + a codes table partitioned the same way.
-    Three linear passes over the corpus, all build-time."""
+    Three linear passes over the corpus, all build-time.
+
+    ``residual=True`` trains/encodes over x_n − c_n (module docstring) —
+    same layout, same scan shape, better codes."""
     ivf = ivf_build(spark, emb, index_dir, n_centroids=n_centroids,
                     kmeans_iters=kmeans_iters, vec_col=vec_col,
                     id_col=id_col)
-    books = pq_train(emb, m=m, ksub=ksub, train_iters=train_iters,
-                     vec_col=vec_col, id_col=id_col)
-    # codes ride the SAME centroid_id partitioning as the raw cells, so
-    # the pruned query scan applies to the compressed table too
-    codes = (pq_encode(emb, books, vec_col=vec_col, id_col=id_col)
-             .join(ivf.cells.select("vec_id", "centroid_id"), "vec_id"))
+    if residual:
+        res = _residuals(ivf.cells, ivf.centroids)
+        books = pq_train(res, m=m, ksub=ksub, train_iters=train_iters,
+                         vec_col="rv", id_col="vec_id", normalize=False)
+        codes = (pq_encode(res, books, vec_col="rv", id_col="vec_id",
+                           normalize=False)
+                 .join(res.select("vec_id", "centroid_id"), "vec_id"))
+    else:
+        books = pq_train(emb, m=m, ksub=ksub, train_iters=train_iters,
+                         vec_col=vec_col, id_col=id_col)
+        # codes ride the SAME centroid_id partitioning as the raw cells, so
+        # the pruned query scan applies to the compressed table too
+        codes = (pq_encode(emb, books, vec_col=vec_col, id_col=id_col)
+                 .join(ivf.cells.select("vec_id", "centroid_id"), "vec_id"))
     (codes.repartition("centroid_id")
      .write.mode("overwrite").partitionBy("centroid_id")
      .parquet(os.path.join(index_dir, "cells_codes")))
     tmp = os.path.join(index_dir, _PQ_META + ".tmp")
     with open(tmp, "w") as fh:
-        json.dump({"m": m, "ksub": ksub, "books": books}, fh)
+        json.dump({"m": m, "ksub": ksub, "books": books,
+                   "residual": bool(residual)}, fh)
     os.replace(tmp, os.path.join(index_dir, _PQ_META))
-    return IvfPqIndex(ivf, books)
+    return IvfPqIndex(ivf, books, residual=residual)
 
 
 class IvfPqIndex:
-    def __init__(self, ivf: IvfIndex, books: list[list[list[float]]]):
+    def __init__(self, ivf: IvfIndex, books: list[list[list[float]]],
+                 residual: bool = False):
         self.ivf = ivf
         self.books = books
+        self.residual = residual
 
     @property
     def cells_codes(self) -> DataFrame:
@@ -108,8 +152,15 @@ def ivfpq_append(index: IvfPqIndex, new_emb: DataFrame,
     (assign.repartition("centroid_id")
      .write.mode("append").partitionBy("centroid_id")
      .parquet(os.path.join(index.ivf.index_dir, "cells")))
-    codes = (pq_encode(new_emb, index.books, vec_col=vec_col, id_col=id_col)
-             .join(assign.select("vec_id", "centroid_id"), "vec_id"))
+    if index.residual:
+        res = _residuals(assign, index.ivf.centroids)
+        codes = (pq_encode(res, index.books, vec_col="rv", id_col="vec_id",
+                           normalize=False)
+                 .join(res.select("vec_id", "centroid_id"), "vec_id"))
+    else:
+        codes = (pq_encode(new_emb, index.books, vec_col=vec_col,
+                           id_col=id_col)
+                 .join(assign.select("vec_id", "centroid_id"), "vec_id"))
     (codes.repartition("centroid_id")
      .write.mode("append").partitionBy("centroid_id")
      .parquet(os.path.join(index.ivf.index_dir, "cells_codes")))
@@ -139,7 +190,8 @@ def ivfpq_open(spark: SparkSession, index_dir: str) -> IvfPqIndex:
     from .ivf import ivf_open
     with open(os.path.join(index_dir, _PQ_META)) as fh:
         meta = json.load(fh)
-    return IvfPqIndex(ivf_open(spark, index_dir), meta["books"])
+    return IvfPqIndex(ivf_open(spark, index_dir), meta["books"],
+                      residual=bool(meta.get("residual", False)))
 
 
 def ivfpq_search(index: IvfPqIndex, emb: DataFrame,
@@ -167,16 +219,36 @@ def ivfpq_search(index: IvfPqIndex, emb: DataFrame,
     qrows = (emb.filter(F.col(id_col).isin(query_ids))
              .select(F.col(id_col).alias("q"), F.col(vec_col).alias("v"))
              .collect())
-    luts: dict[int, np.ndarray] = {}
+    qvecs: dict[int, np.ndarray] = {}
     for r in qrows:
         v = np.asarray(list(r["v"]), dtype=np.float64)
         n = np.linalg.norm(v)
-        qv = v / n if n > 0 else v
-        luts[int(r["q"])] = np.stack([
-            (((books[j] - qv[j * dsub:(j + 1) * dsub][None, :]) ** 2)
-             .sum(axis=1)) for j in range(m)])
+        qvecs[int(r["q"])] = v / n if n > 0 else v
     qcells = {qid: np.array(sorted(cs), dtype=np.int64)
               for qid, cs in allowed.items()}
+
+    def _lut_of(target: np.ndarray) -> np.ndarray:
+        """(m × ksub) sub-space squared distances of ``target`` to the
+        codebooks — the ADC lookup table."""
+        return np.stack([
+            (((books[j] - target[j * dsub:(j + 1) * dsub][None, :]) ** 2)
+             .sum(axis=1)) for j in range(m)])
+
+    residual = index.residual  # plain bool for the task closure (the
+    # index object holds the SparkSession — never ship it to workers)
+    cnorm_map: dict[int, np.ndarray] = {}
+    luts: dict[int, np.ndarray] = {}
+    if residual:
+        # residual ADC target is per-(query, cell): (q_n − c_n); the
+        # normalized centroid map rides the task closure (k×dim floats)
+        crows = ivf.centroids.select(
+            "centroid_id", _as_double(F.col("cv")).alias("cv")).collect()
+        for r in crows:
+            cv = np.asarray(list(r["cv"]), dtype=np.float64)
+            n = np.linalg.norm(cv)
+            cnorm_map[int(r["centroid_id"])] = cv / n if n > 0 else cv
+    else:
+        luts = {qid: _lut_of(qv) for qid, qv in qvecs.items()}
 
     def kernel(batches):
         import pandas as pd
@@ -187,16 +259,33 @@ def ivfpq_search(index: IvfPqIndex, emb: DataFrame,
             ids = pdf["vec_id"].to_numpy()
             cids = pdf["centroid_id"].to_numpy()
             out = {"query_id": [], "neighbor_id": [], "d2": []}
-            for qid, lut in luts.items():
-                keep = np.isin(cids, qcells.get(qid, ())) & (ids != qid)
+            for qid, qv in qvecs.items():
+                if residual:
+                    # one LUT per (query, probed cell present here) — a
+                    # partition is one cell directory, so usually one
+                    d2 = np.full(ids.shape[0], np.inf)
+                    for c in np.unique(cids):
+                        if int(c) not in qcells.get(qid, ()):
+                            continue
+                        rows = cids == c
+                        lut = _lut_of(qv - cnorm_map[int(c)])
+                        d2[rows] = lut[np.arange(m)[None, :],
+                                       codes_np[rows]].sum(axis=1)
+                    d2[ids == qid] = np.inf
+                    keep = np.isfinite(d2)
+                else:
+                    keep = np.isin(cids, qcells.get(qid, ())) & (ids != qid)
+                    d2 = np.full(ids.shape[0], np.inf)
+                    if keep.any():
+                        d2[keep] = luts[qid][np.arange(m)[None, :],
+                                             codes_np[keep]].sum(axis=1)
                 if not keep.any():
                     continue
-                d2 = lut[np.arange(m)[None, :], codes_np[keep]].sum(axis=1)
-                idk = ids[keep]
-                top = np.lexsort((idk, d2))[:shortlist]
+                dk, idk = d2[keep], ids[keep]
+                top = np.lexsort((idk, dk))[:shortlist]
                 out["query_id"] += [qid] * len(top)
                 out["neighbor_id"] += list(idk[top])
-                out["d2"] += list(d2[top])
+                out["d2"] += list(dk[top])
             if out["query_id"]:
                 yield pd.DataFrame(out)
 
@@ -323,15 +412,19 @@ def ivfpq_search_batch(index: IvfPqIndex, emb: DataFrame,
     bb = sc.broadcast(books)
     bc = sc.broadcast(cent_ids)
     bp = sc.broadcast(probe_cols)  # (nq × nprobe) column idx, or None
+    bcm = sc.broadcast(cmat_n if index.residual else None)
+    residual = index.residual
 
     def kernel(batches):
         import pandas as pd
         qids_, qmat_ = bq.value
         books_, cent_ids_, probe_ = bb.value, bc.value, bp.value
+        cmatn_ = bcm.value
         nq = len(qids_)
-        luts = [(((qmat_[:, None, j * dsub:(j + 1) * dsub]
-                   - books_[j][None, :, :]) ** 2).sum(axis=2))
-                for j in range(m)]
+        if not residual:
+            luts = [(((qmat_[:, None, j * dsub:(j + 1) * dsub]
+                       - books_[j][None, :, :]) ** 2).sum(axis=2))
+                    for j in range(m)]
         # per-chunk probe masks (chunk × n_centroids) expanded from the
         # broadcast driver probe — the SAME probe the pruning used
         allowed_chunks = {}
@@ -350,11 +443,34 @@ def ivfpq_search_batch(index: IvfPqIndex, emb: DataFrame,
             out_q, out_n, out_d = [], [], []
             for lo in range(0, nq, query_chunk):
                 hi = min(lo + query_chunk, nq)
-                d2 = luts[0][lo:hi][:, codes_np[:, 0]].copy()
-                for j in range(1, m):
-                    d2 += luts[j][lo:hi][:, codes_np[:, j]]
-                if probe_ is not None:  # per-query cell gate
-                    d2[~allowed_chunks[lo][:, ccol]] = np.inf
+                if residual:
+                    # per-cell ADC target (q − c): LUTs per (chunk, cell
+                    # present in this batch) — a partition is one cell
+                    # directory, so normally ONE extra matmul per chunk
+                    d2 = np.full((hi - lo, ids.shape[0]), np.inf)
+                    for col in np.unique(ccol):
+                        rows = np.where(ccol == col)[0]
+                        if probe_ is not None:
+                            qmask = allowed_chunks[lo][:, col]
+                            if not qmask.any():
+                                continue
+                        t = qmat_[lo:hi] - cmatn_[col][None, :]
+                        dcell = (((t[:, None, 0:dsub]
+                                   - books_[0][None, :, :]) ** 2)
+                                 .sum(axis=2))[:, codes_np[rows, 0]]
+                        for j in range(1, m):
+                            dcell += (((t[:, None, j * dsub:(j + 1) * dsub]
+                                        - books_[j][None, :, :]) ** 2)
+                                      .sum(axis=2))[:, codes_np[rows, j]]
+                        if probe_ is not None:
+                            dcell[~qmask] = np.inf
+                        d2[:, rows] = dcell
+                else:
+                    d2 = luts[0][lo:hi][:, codes_np[:, 0]].copy()
+                    for j in range(1, m):
+                        d2 += luts[j][lo:hi][:, codes_np[:, j]]
+                    if probe_ is not None:  # per-query cell gate
+                        d2[~allowed_chunks[lo][:, ccol]] = np.inf
                 d2[qids_[lo:hi, None] == ids[None, :]] = np.inf
                 n = ids.shape[0]
                 if n > shortlist:

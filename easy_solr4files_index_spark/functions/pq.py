@@ -63,10 +63,16 @@ def _normalized(col):
 
 def pq_train(emb: DataFrame, m: int = 4, ksub: int = 16,
              train_iters: int = 3, vec_col: str = "embedding",
-             id_col: str = "vec_id") -> list[list[list[float]]]:
+             id_col: str = "vec_id",
+             normalize: bool = True) -> list[list[list[float]]]:
     """Fit m sub-space codebooks; returns nested lists
     ``codebooks[j][c] = centroid c of subspace j`` (m×ksub×dsub floats —
-    always driver-safe; the distributed work is inside kmeans_fit)."""
+    always driver-safe; the distributed work is inside kmeans_fit).
+
+    ``normalize=False`` trains on the raw vectors as given — the residual
+    IVFADC path (ivfpq residual=True) quantizes x_n − centroid_n, which
+    must NOT be re-normalized (residuals are short by construction;
+    normalizing would destroy the additive decomposition q−c−r̂)."""
     dim = len(emb.select(vec_col).first()[0])
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m={m}")
@@ -75,8 +81,9 @@ def pq_train(emb: DataFrame, m: int = 4, ksub: int = 16,
         # would silently wrap the argmin indices
         raise ValueError(f"ksub={ksub} exceeds the smallint code range (32767)")
     dsub = dim // m
-    unit = emb.select(F.col(id_col).alias("vec_id"),
-                      _normalized(F.col(vec_col)).alias("v"))
+    vexpr = (_normalized(F.col(vec_col)) if normalize
+             else _as_double(F.col(vec_col)))
+    unit = emb.select(F.col(id_col).alias("vec_id"), vexpr.alias("v"))
 
     # the m sub-space fits are independent — submit them from threads so
     # their per-iteration job latencies overlap (Spark schedules the
@@ -99,7 +106,8 @@ def pq_train(emb: DataFrame, m: int = 4, ksub: int = 16,
 
 def pq_encode(emb: DataFrame, codebooks: list[list[list[float]]],
               vec_col: str = "embedding",
-              id_col: str = "vec_id") -> DataFrame:
+              id_col: str = "vec_id",
+              normalize: bool = True) -> DataFrame:
     """(vec_id, codes array<smallint>) — one vectorized argmin pass.
     Ties go to the lowest code (numpy argmin), so encoding is
     deterministic regardless of partitioning. Codes are smallint
@@ -124,8 +132,9 @@ def pq_encode(emb: DataFrame, codebooks: list[list[list[float]]],
             yield pd.DataFrame({"vec_id": pdf["vec_id"].to_numpy(),
                                 "codes": list(codes)})
 
-    unit = emb.select(F.col(id_col).alias("vec_id"),
-                      _normalized(F.col(vec_col)).alias("v"))
+    vexpr = (_normalized(F.col(vec_col)) if normalize
+             else _as_double(F.col(vec_col)))
+    unit = emb.select(F.col(id_col).alias("vec_id"), vexpr.alias("v"))
     return unit.mapInPandas(kernel, "vec_id long, codes array<smallint>")
 
 

@@ -215,3 +215,86 @@ def test_ivfpq_batch_exact_gate_and_matches_per_query(spark, emb, brute,
     got_q = sorted(((r["query_id"], r["neighbor_id"], r["cos"], r["rank"])
                     for r in lossy_pq.collect()))
     assert got_b == got_q
+
+
+def test_ivfpq_residual_exact_gate_reopen_and_batch(spark, emb, brute,
+                                                    tmp_path):
+    """RESIDUAL IVFADC (residual=True — the FAISS-standard composition,
+    Jégou 2011 §IV): codes quantize x_n − c_n, ADC targets are
+    per-(query, cell) q_n − c_n. Exactness dials (nprobe=all,
+    shortlist >= corpus) stay rank-identical to brute force (the re-rank
+    is exact cosine regardless of code quality); the persisted residual
+    flag round-trips through ivfpq_open; the batch kernel matches the
+    per-query kernel row-for-row at lossy dials."""
+    from easy_solr4files_index_spark.functions import ivfpq
+    from easy_solr4files_index_spark.functions.ivf import queries_from_emb
+
+    d = str(tmp_path / "ivfpq_res")
+    idx = ivfpq.ivfpq_build(spark, emb, d, n_centroids=8, m=8, ksub=16,
+                            residual=True)
+    assert idx.residual
+    n = emb.count()
+    res = ivfpq.ivfpq_search(idx, emb, QIDS, k=5, nprobe=8, shortlist=n)
+    assert {(r["query_id"], r["neighbor_id"], r["rank"])
+            for r in res.collect()} == brute
+
+    idx2 = ivfpq.ivfpq_open(spark, d)
+    assert idx2.residual
+
+    qdf = queries_from_emb(emb, QIDS).selectExpr("query_id", "qv")
+    exact_b = ivfpq.ivfpq_search_batch(idx2, emb, qdf, k=5, nprobe=8,
+                                       shortlist=n)
+    assert {(r["query_id"], r["neighbor_id"], r["rank"])
+            for r in exact_b.collect()} == brute
+
+    lossy_q = sorted((r["query_id"], r["neighbor_id"], r["cos"], r["rank"])
+                     for r in ivfpq.ivfpq_search(
+                         idx2, emb, QIDS, k=5, nprobe=3,
+                         shortlist=40).collect())
+    lossy_b = sorted((r["query_id"], r["neighbor_id"], r["cos"], r["rank"])
+                     for r in ivfpq.ivfpq_search_batch(
+                         idx2, emb, qdf, k=5, nprobe=3,
+                         shortlist=40).collect())
+    assert lossy_q == lossy_b
+
+
+def test_ivfpq_residual_beats_nonresidual_recall(spark, emb, brute,
+                                                 tmp_path):
+    """The point of residual encoding: at IDENTICAL dials (m, ksub,
+    nprobe, shortlist) the residual codes rank closer to the true
+    neighbors — recall@5 must be >= the non-residual index's (everything
+    here is deterministic, so this is a fixed measured ordering, not a
+    statistical assertion)."""
+    from easy_solr4files_index_spark.functions import ivfpq
+
+    d1 = str(tmp_path / "nonres")
+    d2 = str(tmp_path / "res")
+    plain = ivfpq.ivfpq_build(spark, emb, d1, n_centroids=8, m=4, ksub=16)
+    resid = ivfpq.ivfpq_build(spark, emb, d2, n_centroids=8, m=4, ksub=16,
+                              residual=True)
+    r_plain = _recall(ivfpq.ivfpq_search(plain, emb, QIDS, k=5, nprobe=8,
+                                         shortlist=25).collect(), brute)
+    r_res = _recall(ivfpq.ivfpq_search(resid, emb, QIDS, k=5, nprobe=8,
+                                       shortlist=25).collect(), brute)
+    assert r_res >= r_plain
+
+
+def test_ivfpq_residual_append(spark, emb, brute, tmp_path):
+    """Residual append: new vectors are assigned against frozen
+    centroids and their RESIDUALS encoded with the frozen codebooks —
+    exact-dial search over the grown corpus equals brute force over the
+    union (the same gate as the non-residual append)."""
+    from pyspark.sql import functions as F
+
+    from easy_solr4files_index_spark.functions import ivfpq
+
+    d = str(tmp_path / "res_app")
+    head = emb.filter(F.col("vec_id") < 300)
+    tail = emb.filter(F.col("vec_id") >= 300)
+    idx = ivfpq.ivfpq_build(spark, head, d, n_centroids=8, m=8, ksub=16,
+                            residual=True)
+    ivfpq.ivfpq_append(idx, tail)
+    n = emb.count()
+    res = ivfpq.ivfpq_search(idx, emb, QIDS, k=5, nprobe=8, shortlist=n)
+    assert {(r["query_id"], r["neighbor_id"], r["rank"])
+            for r in res.collect()} == brute

@@ -22,7 +22,7 @@ _WORKLOAD = ("n_docs", "n_vecs", "dim", "n_queries")
 # *different-dial* run slipped in — treat a mismatch as an error too
 _EXACT = ("dedup_docs", "dedup_dropped", "contamination_hits", "curate_kept",
           "ivf_search_rows", "ivfpq_search_rows", "pq_batch_rerank_rows",
-          "ivfpq_batch_rows")
+          "ivfpq_batch_rows", "ivfpq_res_search_rows", "ivfpq_res_batch_rows")
 
 
 def merge(runs: list[dict]) -> dict:
@@ -52,7 +52,9 @@ def merge(runs: list[dict]) -> dict:
                           ("ivfpq_search", "ivfpq_search_qps"),
                           ("ivfpq_hq_search", "ivfpq_hq_qps"),
                           ("pq_batch_rerank", "pq_batch_qps"),
-                          ("ivfpq_batch", "ivfpq_batch_qps")]:
+                          ("ivfpq_batch", "ivfpq_batch_qps"),
+                          ("ivfpq_res_search", "ivfpq_res_qps"),
+                          ("ivfpq_res_batch", "ivfpq_res_batch_qps")]:
         sk = base_k + "_sec"
         if sk in out:
             out[qps_k] = round(n_q / out[sk], 1)
