@@ -783,6 +783,112 @@ def _q_envelope(spark, sf_dir):
                               "spark join", k=10)
 
 
+def _q_ann_ivfpq_res(spark, sf_dir):
+    """RESIDUAL IVFADC (functions/ivfpq.py residual=True — the
+    FAISS-standard composition, Jégou 2011 §IV): PQ codes quantize
+    x_n − c_n; ADC LUTs are per-(query, probed cell) q_n − c_n, built
+    in-kernel. Exactness dials (nprobe=all, shortlist ≥ corpus) ⇒
+    rank-identical to brute force (the exact-cosine re-rank), the same
+    oracle gate as ann_ivfpq_topk; the recall gain at lossy dials is
+    benched in BENCH/PIPELINE.md and pytest-gated (residual ≥
+    non-residual at identical dials, tests/test_pq.py)."""
+    import tempfile
+
+    from easy_solr4files_index_spark.functions import ivfpq
+
+    key = (id(spark), sf_dir, "ivfpq_res")
+    if key not in _INDEX_CACHE:
+        d = tempfile.mkdtemp(prefix="ivfpqres_entry_")
+        _INDEX_CACHE[key] = ivfpq.ivfpq_build(
+            spark, _emb(spark, sf_dir), d, n_centroids=8, m=8, ksub=16,
+            residual=True)
+    return ivfpq.ivfpq_search(_INDEX_CACHE[key], _emb(spark, sf_dir),
+                              [0, 1, 2], k=5, nprobe=8, shortlist=1 << 20)
+
+
+def _q_stream_ann_ingest(spark, sf_dir):
+    """Exactly-once streaming ANN ingest (streaming/ann_ingest.py): an
+    IVFADC index built on the first 300 vectors, the rest drained
+    through the transactional foreachBatch sink (manifest-gated file
+    visibility, redelivery no-op) — the post-drain exact-dial search
+    must hash-match brute force over the UNION. Crash-window/orphan
+    semantics are pytest-gated (tests/test_streaming_ann.py)."""
+    import os
+    import tempfile
+
+    from easy_solr4files_index_spark.functions import ivfpq
+    from easy_solr4files_index_spark.streaming.ann_ingest import (
+        stream_ann_append)
+
+    key = (id(spark), sf_dir, "str_ann")
+    if key not in _INDEX_CACHE:
+        base = tempfile.mkdtemp(prefix="entry_sann_")
+        d, src, ckpt = (os.path.join(base, x)
+                        for x in ("idx", "src", "ckpt"))
+        emb = _emb(spark, sf_dir)
+        ivfpq.ivfpq_build(spark, emb.filter(F.col("vec_id") < 300), d,
+                          n_centroids=8, m=8, ksub=16, residual=True)
+        emb.filter(F.col("vec_id") >= 300).write.mode("append").parquet(src)
+        stream_ann_append(spark, src, d, ckpt, pq=True)
+        _INDEX_CACHE[key] = d
+    idx = ivfpq.ivfpq_open(spark, _INDEX_CACHE[key])
+    return ivfpq.ivfpq_search(idx, _emb(spark, sf_dir), [0, 1, 2], k=5,
+                              nprobe=8, shortlist=1 << 20)
+
+
+# ~18 analyzer tokens of cross-document boilerplate planted on every
+# doc_id % 7 == 0 doc — the repeated-span shape doc-level dedup cannot
+# see (functions/spans.py; Lee et al. 2022)
+_BOILER = ("this material is provided as is without warranty of any kind "
+           "express or implied including fitness and merchantability")
+_PLANT_SQL = ("(SELECT * REPLACE (CASE WHEN doc_id % 7 = 0 "
+              f"THEN coalesce(text, '') || ' {_BOILER}' "
+              "ELSE text END AS text) FROM documents)")
+
+
+def _q_dedup_spans(spark, sf_dir):
+    """Substring-level span dedup (functions/spans.py): per-doc stats of
+    maximal duplicated 15-gram spans over the corpus with planted
+    cross-doc boilerplate — gram aggregate → anchor semi-join →
+    window interval merge, never all-pairs."""
+    from easy_solr4files_index_spark.functions import spans
+
+    planted = _docs_raw(spark, sf_dir).withColumn(
+        "text", F.when(F.col("doc_id") % 7 == 0,
+                       F.concat_ws(" ", F.coalesce("text", F.lit("")),
+                                   F.lit(_BOILER)))
+        .otherwise(F.col("text")))
+    return spans.dup_span_stats(planted, w=15)
+
+
+def _q_mm_decode_real(spark, sf_dir):
+    """REAL binary image decode (VERDICT r04 #3): generate_bmp_payload
+    writes real 24-bit BMPs per doc; decode_bmp parses the actual
+    header + padded bottom-up BGR pixel array and sums channels; the
+    oracle recomputes dims + sums from the generator's closed-form
+    pixel law — no decoder on the oracle side, so any parse slip
+    breaks the hash. pdf/docx/png stay documented stubs."""
+    return multimodal.decode_bmp(
+        multimodal.generate_bmp_payload(_docs_raw(spark, sf_dir)))
+
+
+_MIX_WEIGHTS = {"src0": 2.0, "src3": 0.2, "src7": 1.4}
+
+
+def _q_pipe_mix(spark, sf_dir):
+    """Domain-mixture sampling (functions/sampling.py domain_mixture —
+    the Pile/LLaMA per-source reweighting recipe): per-repo sampled
+    counts under weighted per-domain rates; integer cutoffs embedded in
+    both engines' plans, composing hash_sample's disjoint-window
+    determinism."""
+    from easy_solr4files_index_spark.functions import sampling as S
+
+    mix = S.domain_mixture(_docs_raw(spark, sf_dir), rate=0.3,
+                           weights=_MIX_WEIGHTS, salt="mix1")
+    return (mix.groupBy(F.col("source").alias("repo"))
+            .agg(F.count("*").alias("kept")))
+
+
 def _q_pipe_contamination(spark, sf_dir):
     """Benchmark-contamination detector (functions/contamination.py): the
     eval set is a deterministic carve-out — every 83rd doc's first-15-
@@ -876,7 +982,18 @@ def _q_build_metrics(spark, sf_dir):
 # (tests/test_entry_parity.py) still checks every run.
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-        # --- never driver-checked before r04 / new this round ---
+        # --- NEW round-5 operators (never driver-checked) ---
+        "ann_ivfpq_res": _q_ann_ivfpq_res,
+        "dedup_spans": _q_dedup_spans,
+        "mm_decode_real": _q_mm_decode_real,
+        "pipe_mix": _q_pipe_mix,
+        "str_ann_ingest": _q_stream_ann_ingest,
+        # --- rotated IN from extras (pytest-green, never driver-checked;
+        # VERDICT r04 #4) ---
+        "mm_resize_stub": _q_mm_resize,
+        "mm_frames_stub": _q_mm_frames,
+        "pipe_cap_per_repo": _q_pipe_cap,
+        # --- first driver-checked r04 ---
         "pipe_contamination": _q_pipe_contamination,
         "pipe_curate": _q_pipe_curate,
         "ts_profile": _q_ts_profile,
@@ -897,11 +1014,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fts_budgeted_full": _q_budgeted_full,
         "fts_envelope": _q_envelope,
         "fts_topk_catenate": _q_topk_catenate,
-        # --- green r02 but pushed out of the r03 window ---
-        "ts_langid": _q_ts_langid,
         "ts_fingerprint": _q_ts_fingerprint,
-        "ann_cosine_topk": _q_ann_cosine,
-        "ann_signlsh_buckets": _q_ann_signlsh,
         "dedup_embedding": _q_dedup_embedding,
     }
     q.update({name: _mk_search(p) for name, p in _SEARCHES.items()})
@@ -912,21 +1025,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fts_topk_physical": _q_topk_physical,
         "fts_delete_physical": _q_delete_physical,
         "fts_upsert_physical": _q_upsert_physical,
-        "meta_group_count": _q_meta_group_count,
-        "meta_vocab_join_abr": _q_meta_vocab_join_abr,
         "fts_topk_synonyms_phrase": _q_topk_synonyms_phrase,
         "fts_numfound_physical": _q_numfound_physical,
         "fts_topk_boolean_mixed": _q_topk_boolean_mixed,
         "fts_phrase_physical": _q_phrase_physical,
-        "meta_range_filter": _q_meta_range_filter,
-        "scan_stores": _q_scan_stores,
         "meta_empty_value_filter": _q_empty_value_filter,
         "fts_path_prefix": _q_path_prefix,
         "fts_topk_access_anon": _q_access_anon,
         "fts_ingest_acl": _q_ingest_acl,
         "fts_auth_join": _q_auth_join,
         "fts_topk_nostop": _q_topk_nostop,
-        "dedup_exact_groups": _q_dedup_exact,
         "dedup_apply": _q_dedup_apply,
         "dedup_simhash_cand": _q_dedup_simhash_cand,
     })
@@ -965,12 +1073,23 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out = {name: _mk_search(p) for name, p in _EXTRA_SEARCHES.items()}
     out.update({
         "mm_decode_stub": _q_mm_decode,
-        # image resize / video frame-sampling plumbing (decoder stubbed,
-        # deterministic integer fakes — full hash oracles)
-        "mm_resize_stub": _q_mm_resize,
-        "mm_frames_stub": _q_mm_frames,
-        # per-key quota twin of the in-window pipe_sample
-        "pipe_cap_per_repo": _q_pipe_cap,
+        # --- retired round-5 (all green r01-r04; freed slots for the 5
+        # new operators + the 3 rotated-in extras) ---
+        # ts_langid ⊂ ts_profile (column-identical fused pass)
+        "ts_langid": _q_ts_langid,
+        # ann_cosine_topk: the brute-force baseline IS the oracle of
+        # every in-window ann_* exact-dial row (same Catalyst cos expr)
+        "ann_cosine_topk": _q_ann_cosine,
+        # ann_signlsh_buckets ⊂ dedup_embedding (its LSH candidate cut)
+        "ann_signlsh_buckets": _q_ann_signlsh,
+        # dedup_exact_groups ⊂ str_dedup_gate (same md5 grouping) +
+        # dedup_apply (exact dups are Jaccard-1 near-dup clusters)
+        "dedup_exact_groups": _q_dedup_exact,
+        # trivial relational projections/joins, green r01-r04
+        "meta_group_count": _q_meta_group_count,
+        "meta_vocab_join_abr": _q_meta_vocab_join_abr,
+        "meta_range_filter": _q_meta_range_filter,
+        "scan_stores": _q_scan_stores,
         # ts_token_count / ts_quality ⊂ ts_profile (column-identical
         # fused pass; green r01-r03)
         "ts_token_count": _q_ts_token_count,
@@ -1172,4 +1291,17 @@ SELECT repo, path, lang, content_md5 FROM g WHERE rn = 1
     from easy_solr4files_index_spark.streaming.windowed import (
         windowed_event_agg_sql)
     out["str_windowed_agg"] = windowed_event_agg_sql()
+    # --- round-5 operators ---
+    # residual IVFADC / streaming ANN ingest at exactness dials == brute
+    # force (the same convention as every ann_* gate)
+    out["ann_ivfpq_res"] = similarity.cosine_topk_sql([0, 1, 2], k=5)
+    out["str_ann_ingest"] = similarity.cosine_topk_sql([0, 1, 2], k=5)
+    from easy_solr4files_index_spark.functions import spans as _spans
+    out["dedup_spans"] = _spans.dup_span_stats_sql(w=15, source=_PLANT_SQL)
+    out["mm_decode_real"] = multimodal.decode_bmp_sql()
+    out["pipe_mix"] = (
+        "SELECT source AS repo, count(*) AS kept FROM ("
+        + _samp.domain_mixture_sql(rate=0.3, weights=_MIX_WEIGHTS,
+                                   salt="mix1")
+        + ") GROUP BY source")
     return out

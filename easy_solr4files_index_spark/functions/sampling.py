@@ -86,3 +86,68 @@ SELECT * EXCLUDE (_rn) FROM (
   FROM {source})
 WHERE _rn <= {n}
 """
+
+
+def _mix_cutoffs(rate: float, weights: dict[str, float],
+                 default_weight: float) -> tuple[dict[str, int], int]:
+    """Integer per-domain hash cutoffs, computed ONCE in Python and
+    embedded as literals in BOTH engines' plans — no float arithmetic
+    ever happens inside either engine, so there is no cross-engine
+    rounding surface at all."""
+    def cut(w: float) -> int:
+        import math
+        return int(math.floor(min(1.0, rate * w) * _M + 0.5))
+    return ({k: cut(w) for k, w in weights.items()}, cut(default_weight))
+
+
+def domain_mixture(docs: DataFrame, rate: float,
+                   weights: dict[str, float], key: str = "source",
+                   default_weight: float = 1.0, salt: str = "",
+                   cols: tuple[str, ...] = ("doc_id",)) -> DataFrame:
+    """Weighted per-domain sampling — the domain-mixture primitive of
+    public LLM corpus recipes (The Pile's per-set epochs, Gao et al.
+    2020 §2; LLaMA's per-source sampling proportions, Touvron et al.
+    2023 Table 1): domain ``d`` keeps rows at rate min(1, rate · w_d).
+
+    Composes hash_sample's disjoint-window determinism: the SAME hash,
+    so with equal salt a mixture at rate r is a strict SUBSET of one at
+    rate r' ≥ r (per-domain windows nest — reproducible curriculum
+    growth), and a different salt is an independent draw (train/val
+    never overlap). Map-only: the per-domain cutoffs are literals in
+    the plan (a CASE over the key column — domain vocabularies are
+    config-sized), so this pipelines inside the scan at any corpus
+    size; use temperature_weights to derive w_d from domain counts."""
+    cuts, dflt = _mix_cutoffs(rate, weights, default_weight)
+    cutoff = F.lit(dflt)
+    for k, c in sorted(cuts.items()):
+        cutoff = F.when(F.col(key) == k, F.lit(c)).otherwise(cutoff)
+    return docs.filter(F.pmod(_hash_col(cols, salt), F.lit(_M)) < cutoff)
+
+
+def domain_mixture_sql(rate: float, weights: dict[str, float],
+                       key: str = "source", default_weight: float = 1.0,
+                       salt: str = "", cols: tuple[str, ...] = ("doc_id",),
+                       source: str = "documents") -> str:
+    cuts, dflt = _mix_cutoffs(rate, weights, default_weight)
+    whens = " ".join(f"WHEN {key} = '{k}' THEN {c}"
+                     for k, c in sorted(cuts.items()))
+    return (f"SELECT * FROM {source} "
+            f"WHERE {_hash_sql(cols, salt)} % {_M} < "
+            f"(CASE {whens} ELSE {dflt} END)")
+
+
+def temperature_weights(domain_counts: dict[str, int],
+                        temperature: float = 1.0) -> dict[str, float]:
+    """Per-domain rate multipliers w_d making the EXPECTED sampled
+    mixture ∝ n_d^T while preserving the overall expected rate:
+    w_d = n_d^(T-1) · N / Σ n_e^T (T=1 ⇒ all 1.0 — plain hash_sample;
+    T<1 upweights small domains, the standard mixture-flattening dial).
+    Pure Python over the config-sized domain-count dict (key-sorted
+    summation — deterministic); feed the result to domain_mixture."""
+    items = sorted(domain_counts.items())
+    total = sum(n for _, n in items)
+    denom = sum(n ** temperature for _, n in items)
+    if total == 0 or denom == 0:
+        return {k: 1.0 for k, _ in items}
+    return {k: (n ** (temperature - 1.0)) * total / denom if n > 0 else 0.0
+            for k, n in items}

@@ -212,3 +212,62 @@ def test_real_decoder_paths_raise(spark):
     with _pytest.raises(Exception, match="real decoder unavailable"):
         sample_frames(attach_media_payload(docs.withColumn(
             "doc_id", docs.doc_id + 2)), use_real_decoder=True).collect()
+
+
+def test_bmp_roundtrip_matches_closed_form_oracle(spark):
+    """generate_bmp_payload writes REAL 24-bit BMPs; decode_bmp parses
+    the actual bytes; the DuckDB twin recomputes dims + channel sums
+    from the generator's closed-form pixel law — no decoder on the
+    oracle side, so any header/stride/BGR/bottom-up slip breaks it."""
+    from easy_solr4files_index_spark.functions import multimodal as M
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    got = sorted(map(tuple, M.decode_bmp(
+        M.generate_bmp_payload(docs)).collect()))
+    con = duckdb.connect()
+    con.execute("CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{SF_DIR}/documents.parquet')")
+    exp = sorted(map(tuple, con.execute(M.decode_bmp_sql()).fetchall()))
+    assert got == exp and len(got) == docs.count()
+
+
+def test_bmp_generator_is_bottom_up_bgr(spark):
+    """Channel sums are flip/swap-invariant, so check one literal pixel:
+    image pixel (x=1, y=2) of doc 5 must sit in FILE row h-1-2 (bottom-up)
+    in B,G,R byte order with the closed-form values."""
+    from easy_solr4files_index_spark.functions import multimodal as M
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    row = M.generate_bmp_payload(docs.filter("doc_id = 5")).first()
+    b = bytes(row["payload"])
+    w = int.from_bytes(b[18:22], "little")
+    h = int.from_bytes(b[22:26], "little")
+    stride = (w * 3 + 3) & ~3
+    x, y = 1, 2
+    off = 54 + (h - 1 - y) * stride + x * 3
+    base = (7 * 5 + 3 * x + 5 * y)
+    assert b[off] == (base + 22) % 256      # B
+    assert b[off + 1] == (base + 11) % 256  # G
+    assert b[off + 2] == base % 256         # R
+
+
+def test_bmp_decode_degraded_rows(spark):
+    """Malformed/non-BMP payloads yield NULL-stats rows (E2 contract),
+    never an exception or a silent drop."""
+    from pyspark.sql import functions as F
+
+    from easy_solr4files_index_spark.functions import multimodal as M
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(10)
+    bad = (M.generate_bmp_payload(docs)
+           .withColumn("payload",
+                       F.when(F.col("doc_id") % 2 == 0,
+                              F.encode(F.lit("not a bmp"), "UTF-8"))
+                       .otherwise(F.col("payload"))))
+    rows = {r["doc_id"]: r for r in M.decode_bmp(bad).collect()}
+    assert len(rows) == 10
+    for did, r in rows.items():
+        if did % 2 == 0:
+            assert r["width"] is None and r["r_sum"] is None
+        else:
+            assert r["width"] is not None and r["bpp"] == 24
