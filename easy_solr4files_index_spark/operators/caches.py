@@ -33,6 +33,7 @@ references and plans on the driver, never corpus-scale data.
 from __future__ import annotations
 
 import json
+import os
 import threading
 from collections import OrderedDict
 from typing import Callable
@@ -142,6 +143,7 @@ class SearcherCaches:
         self.results = _LRU(result_size)
         self.filters = _LRU(filter_size, on_evict=lambda df: df.unpersist())
         self._build_lock = threading.Lock()  # one DocSet build per fq
+        self._warmed: list[DataFrame] = []
 
     def rebind(self, index: PhysicalIndex) -> None:
         """Point the caches at a new searcher (post-maintenance reopen) —
@@ -154,9 +156,58 @@ class SearcherCaches:
         self.clear()
 
     def clear(self) -> None:
-        """Drop every cached entry, unpersisting the filter DocSets."""
+        """Drop every cached entry, unpersisting the filter DocSets and
+        any warmed block datasets."""
         self.filters.clear()
         self.results.clear()
+        for df in getattr(self, "_warmed", []):
+            df.unpersist()
+        self._warmed = []
+
+    # -- warm searcher (block cache) --------------------------------------
+    def warm(self, datasets: tuple[str, ...] = ("postings", "docs_store",
+                                                "termstats")) -> None:
+        """Persist the index's block datasets in executor storage and
+        materialize them — the Solr firstSearcher/static-warming analog
+        (solrconfig.xml:508-529: a new searcher runs warming queries so
+        the OS/block caches are hot before serving). Here the warmed
+        unit is the dataset scan itself: `PhysicalIndex._read` memoizes
+        one DataFrame per dataset, and Spark's CacheManager substitutes
+        the persisted relation into EVERY derived plan that embeds it
+        (docs_store's drop/filter, termstats' union+agg, each query's
+        tbucket-pruned postings scan), so all subsequent queries on this
+        searcher read columnar executor memory instead of parquet.
+
+        What it can and cannot buy (measured, BENCH/README q-row
+        `query_p95_warm_sec`): scan+decode time goes away, but the WAND
+        path's 4-7 sequential jobs keep their per-job scheduling floor —
+        the cache removes I/O from each job, not the jobs. positions is
+        included automatically when the index carries it (phrase
+        queries). Warmed data is dropped by clear()/rebind() along with
+        the caches (a superseded searcher must release executor
+        storage)."""
+        if getattr(self, "_warmed", None):
+            return
+        ix = self.index
+        names = list(datasets)
+        if ix.has_positions and "positions" not in names:
+            names.append("positions")
+        if os.path.exists(ix.path_of("_termstats_delta")) \
+                and "_termstats_delta" not in names:
+            names.append("_termstats_delta")
+        warmed = []
+        for name in names:
+            if name == "positions" and not ix.has_positions:
+                continue
+            df = ix._read(name)
+            df.persist(StorageLevel.MEMORY_AND_DISK)
+            warmed.append(df)
+        # materialize concurrently (thread-per-dataset, like the
+        # build's _run_parallel) so warm-up pays one wall-clock scan
+        from concurrent.futures import ThreadPoolExecutor
+        with ThreadPoolExecutor(max_workers=len(warmed) or 1) as ex:
+            list(ex.map(lambda d: d.count(), warmed))
+        self._warmed = warmed
 
     def _searcher_key(self) -> tuple:
         ix = self.index

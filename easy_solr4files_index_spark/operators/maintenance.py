@@ -433,7 +433,8 @@ def append_docs_physical(spark: SparkSession, index_dir: str,
 
 def upsert_repos_physical(spark: SparkSession, index_dir: str,
                           new_docs: DataFrame,
-                          auto_compact: bool = True) -> PhysicalIndex:
+                          auto_compact: bool = True,
+                          repos: list[str] | None = None) -> PhysicalIndex:
     """Delete-before-insert per repo (the reference's idempotent update,
     EasySolr4filesIndexApp.scala:48-51): every repo present in new_docs
     fully replaces its docs; cost ∝ the touched repos, not the corpus.
@@ -456,7 +457,16 @@ def upsert_repos_physical(spark: SparkSession, index_dir: str,
     parallel phase alongside the postings encode. avgdl is (dl_sum −
     deleted + appended) — identical to the serial value — and
     globals.json commits ONCE with both mutations (the serial flow's
-    mid-flight commit windows don't get worse, they collapse into one)."""
+    mid-flight commit windows don't get worse, they collapse into one).
+
+    ``repos``: the touched repo set, when the caller already knows it —
+    the reference's update cycle always does (update(store, bagId),
+    EasySolr4filesIndexApp.scala:48-51: one bag per call), so a tiny-bag
+    upsert skips the repo-discovery job entirely and the delete's
+    pruned-ranges scan starts immediately. Omitted ⇒ discovered with a
+    distinct() over the batch (the streaming sink's path, where batch
+    composition is unknown). The set must cover every repo present in
+    ``new_docs``; extra names cost one no-op range lookup each."""
     t0 = time.time()
     idx = open_index(spark, index_dir)
     cfg = idx.config
@@ -474,13 +484,14 @@ def upsert_repos_physical(spark: SparkSession, index_dir: str,
         post-upsert stats (dl_del) need from the delete, WITHOUT the
         df-delta/tombstone writes, which don't feed avgdl and therefore
         run in the second parallel phase alongside the postings encode."""
-        repos = sorted(r["repo"] for r in
-                       new_docs.select("repo").distinct().collect())
-        del_out["repos"] = repos
-        del_out["label"] = ",".join(repos)
-        if not repos:
+        touched = (sorted(set(repos)) if repos is not None
+                   else sorted(r["repo"] for r in
+                               new_docs.select("repo").distinct().collect()))
+        del_out["repos"] = touched
+        del_out["label"] = ",".join(touched)
+        if not touched:
             return
-        ranges = _pred_ranges(idx, meta, F.col("repo").isin(repos),
+        ranges = _pred_ranges(idx, meta, F.col("repo").isin(touched),
                               del_out["label"])
         if not ranges:
             return

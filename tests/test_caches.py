@@ -190,3 +190,39 @@ def test_eviction_unpersists(pidx):
     assert len(caches.filters) == 1
     assert not ds1.storageLevel.useMemory  # evicted -> unpersisted
     assert ds2.storageLevel.useMemory
+
+
+def test_warm_searcher_identical_results_and_release(pidx):
+    """caches.warm() (firstSearcher block warming): every query family
+    returns IDENTICAL rows over the persisted datasets, and clear()
+    releases the executor storage (no leaked cached relations)."""
+    queries = [("spark join", 10, 0, None),
+               ('+"spark merge" -dup join', 10, 0, None),
+               (None, 5, 2, {"lang": ["en"]})]
+    cold = [search_blockmax(pidx, t, k=k, skip=s, filters=f).collect()
+            for t, k, s, f in queries]
+
+    spark = pidx.spark
+    base_persisted = spark.sparkContext._jsc.getPersistentRDDs().size()
+    caches = SearcherCaches(pidx)
+    caches.warm()
+    assert caches._warmed  # datasets actually persisted
+    assert (spark.sparkContext._jsc.getPersistentRDDs().size()
+            > base_persisted)
+    warm = [search_blockmax(pidx, t, k=k, skip=s, filters=f).collect()
+            for t, k, s, f in queries]
+    assert warm == cold
+
+    caches.clear()
+    assert not caches._warmed
+    # every warmed relation released — executor storage back to the
+    # pre-warm baseline (earlier tests' DocSets may still be live in
+    # this shared module session, hence delta not absolute zero)
+    assert (spark.sparkContext._jsc.getPersistentRDDs().size()
+            == base_persisted)
+    # warming twice is idempotent (second call is a no-op)
+    caches.warm()
+    n1 = len(caches._warmed)
+    caches.warm()
+    assert len(caches._warmed) == n1
+    caches.clear()

@@ -402,3 +402,29 @@ def test_check_dense_ids_offset_and_corruption(spark):
 
     # empty segment is vacuously dense
     check_dense_ids(ok.limit(0), offset=0, label="test")
+
+
+def test_upsert_with_repos_hint_matches_discovery(spark, corpus,
+                                                  tmp_path_factory):
+    """repos= (the reference's one-bag update convention — bag id known,
+    EasySolr4filesIndexApp.scala:48-51) must produce the IDENTICAL index
+    state as the discovery path: same listings, same stats, same
+    tombstones."""
+    repo = "org1/proj1"
+    mod = (corpus.filter(F.col("repo") == repo)
+           .withColumn("content", F.concat("content", F.lit(" hintToken"))))
+
+    d_a = str(tmp_path_factory.mktemp("hint_a"))
+    write_index(spark, corpus, d_a, lineage_groups=1)
+    idx_a = upsert_repos_physical(spark, d_a, mod, auto_compact=False)
+
+    d_b = str(tmp_path_factory.mktemp("hint_b"))
+    write_index(spark, corpus, d_b, lineage_groups=1)
+    idx_b = upsert_repos_physical(spark, d_b, mod, auto_compact=False,
+                                  repos=[repo])
+
+    assert _listing(idx_a) == _listing(idx_b)
+    assert _listing(idx_a, "hintToken") == _listing(idx_b, "hintToken")
+    assert idx_a.n_docs == idx_b.n_docs
+    assert abs(idx_a.avgdl - idx_b.avgdl) < 1e-12
+    assert idx_a.tombstones == idx_b.tombstones

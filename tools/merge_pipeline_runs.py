@@ -22,7 +22,8 @@ _WORKLOAD = ("n_docs", "n_vecs", "dim", "n_queries")
 # *different-dial* run slipped in — treat a mismatch as an error too
 _EXACT = ("dedup_docs", "dedup_dropped", "contamination_hits", "curate_kept",
           "ivf_search_rows", "ivfpq_search_rows", "pq_batch_rerank_rows",
-          "ivfpq_batch_rows", "ivfpq_res_search_rows", "ivfpq_res_batch_rows")
+          "ivfpq_batch_rows", "ivfpq_res_search_rows", "ivfpq_res_batch_rows",
+          "spans_docs_flagged")
 
 
 def merge(runs: list[dict]) -> dict:
@@ -61,7 +62,8 @@ def merge(runs: list[dict]) -> dict:
     for base_k, dps_k in [("contamination", "contamination_docs_per_sec"),
                           ("repetition", "repetition_docs_per_sec"),
                           ("profile", "profile_docs_per_sec"),
-                          ("curate", "curate_docs_per_sec")]:
+                          ("curate", "curate_docs_per_sec"),
+                          ("spans", "spans_docs_per_sec")]:
         sk = base_k + "_sec"
         if sk in out:
             out[dps_k] = round(n_docs / out[sk], 1)
