@@ -1001,6 +1001,20 @@ variant back to rank-identical-with-brute-force (the driver's
 hash-matched oracles), and the quality row shows the same index at a
 wider probe/shortlist point — recall is a query-time knob, no rebuild.
 
+The residual rows (ivfpq_res_*) are the FAISS-standard fix for the weak
+non-residual default dial: codes quantize x_n − c_n (m=8), and at the
+IDENTICAL nprobe/shortlist the measured recall@10 rises
+{p.get('ivfpq_recall_at10', '—')} → {p.get('ivfpq_res_recall_at10', '—')}
+at comparable q/s — on this worst-case structureless corpus; clustered
+real embeddings gain more because residuals shrink further. The
+exactness gates are unchanged (driver row `ann_ivfpq_res`).
+
+The span-dedup row is two bucketed passes over the corpus (gram
+aggregate, anchor semi-join) + one per-doc window — never all-pairs;
+the {p.get('spans_docs_flagged', '—')} flagged docs are exactly the
+salted duplicate pairs (both sides of each exact dup), a built-in
+correctness check on the bench itself.
+
 The maintenance rows are fixed-job-latency-bound at this batch size
 (a 10k-vector append is ~6 small Spark jobs across two partitioned
 datasets — the same regime as the text index's small-bag upsert,
