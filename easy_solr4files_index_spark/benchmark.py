@@ -811,6 +811,19 @@ def run_pipeline(cpus: int, n_docs: int = 200_000, dim: int = 32,
         out["spans_sec"] = round(min(times), 2)
         out["spans_docs_flagged"] = n_flagged
         out["spans_docs_per_sec"] = round(n_total / out["spans_sec"], 1)
+        # the pure-Spark production hasher (xxhash64 — no DuckDB twin,
+        # so the oracle-parity mode above stays md5): same flagged set,
+        # cheaper gram hashing
+        times = []
+        for _ in range(search_reps):
+            t0 = time.perf_counter()
+            n_flagged_xx = (dup_span_stats(docs, w=25, hasher="xx64")
+                            .filter(F.col("n_spans") > 0).count())
+            times.append(time.perf_counter() - t0)
+        assert n_flagged_xx == n_flagged, "hasher changed the flagged set"
+        out["spans_xx64_sec"] = round(min(times), 2)
+        out["spans_xx64_docs_per_sec"] = round(
+            n_total / out["spans_xx64_sec"], 1)
 
         # --- ANN over deterministic synthetic vectors -------------------
         emb = _synth_embeddings(
@@ -978,6 +991,7 @@ same VM-noise caveats as every harness here).
 | text_profile (ALL 12 signal columns, one fused map pass) | {p.get('profile_sec', '—')} | {p.get('profile_docs_per_sec', '—')} docs/s | — |
 | curate end-to-end (gates + min_by dedup + decontaminate, kept {p.get('curate_kept', '—')}) | {p.get('curate_sec', '—')} | {p.get('curate_docs_per_sec', '—')} docs/s | — |
 | dup_span_stats (substring-level span dedup, w=25, {p.get('spans_docs_flagged', '—')} docs flagged) | {p.get('spans_sec', '—')} | {p.get('spans_docs_per_sec', '—')} docs/s | — |
+| dup_span_stats with the xxhash64 production hasher (same flagged set) | {p.get('spans_xx64_sec', '—')} | {p.get('spans_xx64_docs_per_sec', '—')} docs/s | — |
 | ivf_build (64 cells, 2 kmeans iters) | {p['ivf_build_sec']} | — | — |
 | ivf_search (k=10, nprobe=8, {p['n_queries']} queries) | {p['ivf_search_sec']} | {p['ivf_search_qps']} q/s | {p.get('ivf_recall_at10', '—')} |
 | ivfpq_build (64 cells, m=4, ksub=64, parallel sub-space fits) | {p['ivfpq_build_sec']} | — | — |

@@ -50,30 +50,40 @@ from .tokenizer import tokenize_duckdb_sql, tokenize_expr
 
 
 def _grams_with_pos(docs: DataFrame, w: int, text_col: str = "text",
-                    id_col: str = "doc_id") -> DataFrame:
+                    id_col: str = "doc_id",
+                    hasher: str = "md5") -> DataFrame:
     """(doc_id, pos, gh): every w-gram start position (0-based token
-    index) with the gram string's 56-bit md5 hash. One codegen pass."""
+    index) with the gram string's hash. One codegen pass.
+
+    ``hasher``: "md5" (default) is the 56-bit md5 int the DuckDB oracle
+    reproduces bit-for-bit — the correctness-gated mode; "xx64" swaps in
+    Spark's native 64-bit xxhash64, ~2× cheaper over long gram strings
+    (the pure-Spark production dial — semantics are hash-invariant
+    modulo collisions, and the 64-bit space makes a collision at any
+    realistic gram count negligible; BENCH/PIPELINE.md shows both)."""
     toks = tokenize_expr(F.coalesce(F.col(text_col), F.lit("")),
                          stopwords=())
-    gh = MD5INT_SPARK.format(x="x.g")
     grams = F.expr(
         f"CASE WHEN size(t) >= {w} THEN "
         f"transform(sequence(0, size(t) - {w}), "
         f"i -> struct(i AS pos, concat_ws(' ', slice(t, i + 1, {w})) AS g)) "
         f"ELSE CAST(array() AS array<struct<pos:int,g:string>>) END")
+    gh = (F.expr(MD5INT_SPARK.format(x="x.g")) if hasher == "md5"
+          else F.xxhash64(F.col("x.g")))
     return (docs.select(F.col(id_col).alias("doc_id"), toks.alias("t"))
             .select("doc_id", F.explode(grams).alias("x"))
             .select("doc_id", F.col("x.pos").alias("pos"),
-                    F.expr(gh).alias("gh")))
+                    gh.alias("gh")))
 
 
 def dup_span_intervals(docs: DataFrame, w: int = 15, min_count: int = 2,
                        cross_doc: bool = False, text_col: str = "text",
-                       id_col: str = "doc_id") -> DataFrame:
+                       id_col: str = "doc_id",
+                       hasher: str = "md5") -> DataFrame:
     """(doc_id, span_start, span_end, span_tokens): maximal duplicated
     token intervals per document (span_end exclusive). See module
     docstring for the rule and the at-scale plan shape."""
-    grams = _grams_with_pos(docs, w, text_col, id_col)
+    grams = _grams_with_pos(docs, w, text_col, id_col, hasher)
     agg = grams.groupBy("gh").agg(F.count("*").alias("cnt"),
                                   F.min("doc_id").alias("mn"),
                                   F.max("doc_id").alias("mx"))
@@ -98,12 +108,12 @@ def dup_span_intervals(docs: DataFrame, w: int = 15, min_count: int = 2,
 
 def dup_span_stats(docs: DataFrame, w: int = 15, min_count: int = 2,
                    cross_doc: bool = False, text_col: str = "text",
-                   id_col: str = "doc_id") -> DataFrame:
+                   id_col: str = "doc_id", hasher: str = "md5") -> DataFrame:
     """Per-document summary (doc_id, total_tokens, n_spans, dup_tokens,
     dup_fraction) — every doc appears (0 spans for clean docs); the
     curation gate composes on dup_fraction."""
     spans = dup_span_intervals(docs, w, min_count, cross_doc,
-                               text_col, id_col)
+                               text_col, id_col, hasher)
     per = (spans.groupBy("doc_id")
            .agg(F.count("*").alias("n_spans"),
                 F.sum("span_tokens").alias("dup_tokens")))

@@ -99,3 +99,14 @@ def test_partition_invariance(planted):
     b = sorted(map(tuple, spans.dup_span_intervals(
         planted.repartition(17), w=15).collect()))
     assert a == b
+
+
+def test_xx64_hasher_same_spans(planted):
+    """The xxhash64 production hasher finds the IDENTICAL span set as
+    the md5 oracle-parity hasher (hash choice is semantics-invariant
+    modulo collisions, absent at this scale)."""
+    a = sorted(map(tuple, spans.dup_span_intervals(
+        planted, w=15, hasher="md5").collect()))
+    b = sorted(map(tuple, spans.dup_span_intervals(
+        planted, w=15, hasher="xx64").collect()))
+    assert a == b

@@ -63,7 +63,8 @@ def merge(runs: list[dict]) -> dict:
                           ("repetition", "repetition_docs_per_sec"),
                           ("profile", "profile_docs_per_sec"),
                           ("curate", "curate_docs_per_sec"),
-                          ("spans", "spans_docs_per_sec")]:
+                          ("spans", "spans_docs_per_sec"),
+                          ("spans_xx64", "spans_xx64_docs_per_sec")]:
         sk = base_k + "_sec"
         if sk in out:
             out[dps_k] = round(n_docs / out[sk], 1)
