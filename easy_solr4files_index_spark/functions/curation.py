@@ -47,6 +47,13 @@ class CurationConfig:
     exact_dedup: bool = True
     contamination_n: int = 3
     contamination_threshold: float = 0.5
+    # substring-level span gate (functions/spans.py; Lee et al. 2022):
+    # drop docs whose duplicated-span token fraction exceeds the cap —
+    # the cross-document boilerplate signal the per-doc gates above
+    # cannot see. Corpus-relative (one bucketed spans pass + an
+    # anti-join), unlike the map-only gates.
+    max_dup_span_fraction: float | None = None
+    span_w: int = 15
 
 
 def _ngram_arr(toks: Column, n: int) -> Column:
@@ -152,6 +159,15 @@ def curate(docs: DataFrame, cfg: CurationConfig = CurationConfig(),
     # Inside transform() the lambda variable is a cheap attribute; the
     # tokenizer runs once.
     kept = docs.filter(gate_predicate(cfg, text_col))
+    if cfg.max_dup_span_fraction is not None:
+        from .spans import dup_span_stats
+        # span stats are computed over the FULL input corpus (duplicate
+        # grams are corpus-relative), then applied as an anti-join
+        flagged = (dup_span_stats(docs, w=cfg.span_w, text_col=text_col)
+                   .filter(F.col("dup_fraction")
+                           > cfg.max_dup_span_fraction)
+                   .select("doc_id"))
+        kept = kept.join(flagged, "doc_id", "left_anti")
     if cfg.exact_dedup:
         kept = (kept.groupBy(F.md5(F.coalesce(F.col(text_col), F.lit("")))
                      .alias("_h"))
@@ -190,10 +206,17 @@ def curate_kept_by_repo_sql(cfg: CurationConfig,
     if cfg.langs is not None:
         langs = ", ".join(f"'{x}'" for x in cfg.langs)
         gates.append(f"lx.lang_pred IN ({langs})")
+    span_cte = ""
+    if cfg.max_dup_span_fraction is not None:
+        from .spans import dup_span_stats_sql
+        span_cte = (
+            f"spanflag AS (SELECT doc_id FROM ({dup_span_stats_sql(w=cfg.span_w)}) "
+            f"WHERE dup_fraction > {cfg.max_dup_span_fraction}),\n")
+        gates.append("d.doc_id NOT IN (SELECT doc_id FROM spanflag)")
     where = " AND ".join(gates) or "TRUE"
     n = cfg.contamination_n
     return f"""
-WITH qx AS (SELECT * FROM ({quality_scores_sql()})),
+WITH {span_cte}qx AS (SELECT * FROM ({quality_scores_sql()})),
 rx AS (SELECT * FROM ({repetition_scores_sql()})),
 lx AS (SELECT * FROM ({lang_id_sql()})),
 tx AS (SELECT * FROM ({token_counts_sql()})),

@@ -77,3 +77,57 @@ def test_curate_no_gates_keeps_all_distinct(spark):
 def test_curate_schema_preserved(spark, docs):
     out = curate(docs, CurationConfig(min_tokens=1))
     assert out.columns == docs.columns
+
+
+def test_curate_span_gate_composes_and_matches_oracle(spark):
+    """Opt-in substring-span gate (max_dup_span_fraction): curate drops
+    gate-surviving docs whose corpus-relative duplicated-span fraction
+    exceeds the cap; equals the manual composition AND the DuckDB twin
+    of the whole pipeline."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from easy_solr4files_index_spark.functions import spans
+    from easy_solr4files_index_spark.functions.curation import (
+        CurationConfig, curate)
+
+    sf = "/root/testdata/sf0.01"
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    cfg = CurationConfig(min_tokens=10, max_dup_span_fraction=0.5,
+                         span_w=8)
+    got = curate(docs, cfg)
+
+    # manual composition: gates-only curate, then anti-join the flagged
+    base = curate(docs, CurationConfig(min_tokens=10))
+    flagged = (spans.dup_span_stats(docs, w=8)
+               .filter(F.col("dup_fraction") > 0.5).select("doc_id"))
+    # span anti-join runs BEFORE dedup in curate; with exact_dedup the
+    # winner per content hash can differ if a flagged doc was a winner —
+    # compare without dedup to pin the gate itself
+    cfg_nd = CurationConfig(min_tokens=10, max_dup_span_fraction=0.5,
+                            span_w=8, exact_dedup=False)
+    got_nd = {r["doc_id"] for r in curate(docs, cfg_nd).select("doc_id").collect()}
+    want_nd = {r["doc_id"] for r in
+               curate(docs, CurationConfig(min_tokens=10, exact_dedup=False))
+               .join(flagged, "doc_id", "left_anti").select("doc_id").collect()}
+    assert got_nd == want_nd
+    assert len(got_nd) < docs.count()
+
+    # full-pipeline SQL twin (per-repo counts), span CTE included
+    from easy_solr4files_index_spark.functions.curation import (
+        curate_kept_by_repo_sql)
+    con = duckdb.connect()
+    con.execute("CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{sf}/documents.parquet')")
+    bench_where = "doc_id % 83 = 0"
+    from easy_solr4files_index_spark.functions.contamination import (
+        snippet_bench)
+    bench = snippet_bench(docs, modulus=83, k_tokens=15)
+    kept = curate(docs, cfg, bench=bench)
+    got_counts = sorted((r["repo"], r["kept"]) for r in
+                        kept.groupBy(F.col("source").alias("repo"))
+                        .agg(F.count("*").alias("kept")).collect())
+    exp_counts = sorted(map(tuple, con.execute(
+        curate_kept_by_repo_sql(cfg, bench_where=bench_where,
+                                snippet_tokens=15)).fetchall()))
+    assert got_counts == exp_counts
