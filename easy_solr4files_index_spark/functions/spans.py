@@ -134,7 +134,7 @@ def dup_span_stats(docs: DataFrame, w: int = 15, min_count: int = 2,
 
 def strip_dup_spans(docs: DataFrame, w: int = 15, min_count: int = 2,
                     cross_doc: bool = False, text_col: str = "text",
-                    id_col: str = "doc_id") -> DataFrame:
+                    id_col: str = "doc_id", hasher: str = "md5") -> DataFrame:
     """(doc_id, clean_text): the document's analyzer tokens minus every
     duplicated span, re-joined with single spaces.
 
@@ -145,7 +145,7 @@ def strip_dup_spans(docs: DataFrame, w: int = 15, min_count: int = 2,
     of stripping. Detokenization is token-join (the operator works on
     the analyzed stream, like every dedup op here)."""
     spans = (dup_span_intervals(docs, w, min_count, cross_doc,
-                                text_col, id_col)
+                                text_col, id_col, hasher)
              .groupBy("doc_id")
              .agg(F.collect_list(F.struct("span_start", "span_end"))
                   .alias("spans")))
