@@ -57,10 +57,11 @@ def _grams_with_pos(docs: DataFrame, w: int, text_col: str = "text",
 
     ``hasher``: "md5" (default) is the 56-bit md5 int the DuckDB oracle
     reproduces bit-for-bit — the correctness-gated mode; "xx64" swaps in
-    Spark's native 64-bit xxhash64, ~2× cheaper over long gram strings
-    (the pure-Spark production dial — semantics are hash-invariant
-    modulo collisions, and the 64-bit space makes a collision at any
-    realistic gram count negligible; BENCH/PIPELINE.md shows both)."""
+    Spark's native 64-bit xxhash64 (the pure-Spark production dial —
+    semantics are hash-invariant modulo collisions, and the 64-bit space
+    makes a collision at any realistic gram count negligible). Measured
+    ~10% end-to-end at 204k docs (BENCH/PIPELINE.md): the gram-string
+    concat + explode + the two exchanges dominate, not the hash."""
     toks = tokenize_expr(F.coalesce(F.col(text_col), F.lit("")),
                          stopwords=())
     grams = F.expr(
