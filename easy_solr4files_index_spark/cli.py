@@ -142,23 +142,28 @@ def cmd_compact(args: argparse.Namespace) -> int:
     return 0
 
 
-def cmd_curate(args: argparse.Namespace) -> int:
-    """Training-corpus curation over a raw documents table: quality /
-    length / repetition / language gates (one map pass), exact dedup
-    (deterministic min-doc_id winner), optional benchmark
-    decontamination; writes the curated corpus as parquet and prints a
-    JSON report of what survived."""
+def _docs_input(spark, path: str):
+    """Resolve --input: a documents parquet file/dir, an sf testdata
+    dir (containing documents.parquet), or a catalog table name."""
     import os
 
-    from .functions.curation import CurationConfig, curate
-
-    spark = _spark("fts-curate", args.cpus)
-    path = args.input
     if os.path.isdir(path) and os.path.exists(
             os.path.join(path, "documents.parquet")):
         path = os.path.join(path, "documents.parquet")
-    docs = (spark.read.parquet(path) if os.path.exists(path)
+    return (spark.read.parquet(path) if os.path.exists(path)
             else spark.read.table(path))
+
+
+def cmd_curate(args: argparse.Namespace) -> int:
+    """Training-corpus curation over a raw documents table: quality /
+    length / repetition / language gates (one map pass), exact dedup
+    (deterministic min-doc_id winner), optional substring-span gate,
+    optional benchmark decontamination; writes the curated corpus as
+    parquet and prints a JSON report of what survived."""
+    from .functions.curation import CurationConfig, curate
+
+    spark = _spark("fts-curate", args.cpus)
+    docs = _docs_input(spark, args.input)
     cfg = CurationConfig(
         min_quality=args.min_quality, min_tokens=args.min_tokens,
         max_top_bigram=args.max_top_bigram,
@@ -166,7 +171,9 @@ def cmd_curate(args: argparse.Namespace) -> int:
         langs=tuple(args.langs.split(",")) if args.langs else None,
         exact_dedup=not args.no_exact_dedup,
         contamination_n=args.contamination_n,
-        contamination_threshold=args.contamination_threshold)
+        contamination_threshold=args.contamination_threshold,
+        max_dup_span_fraction=args.max_dup_span_fraction,
+        span_w=args.span_w)
     bench = spark.read.parquet(args.bench) if args.bench else None
     n_in = docs.count()
     t0 = time.perf_counter()
@@ -179,6 +186,40 @@ def cmd_curate(args: argparse.Namespace) -> int:
         "n_dropped": n_in - n_kept, "curate_sec": round(dt, 2),
         "docs_per_sec": round(n_in / dt, 1) if dt > 0 else None,
     }))
+    return 0
+
+
+def cmd_spans(args: argparse.Namespace) -> int:
+    """Substring-level span dedup (functions/spans.py, Lee et al. 2022):
+    write per-doc duplicated-span stats, or (--strip) the corpus with
+    every duplicated span removed; prints a JSON report."""
+    from pyspark.sql import functions as F
+
+    from .functions.spans import dup_span_stats, strip_dup_spans
+
+    spark = _spark("fts-spans", args.cpus)
+    docs = _docs_input(spark, args.input)
+    n_in = docs.count()
+    t0 = time.perf_counter()
+    if args.strip:
+        out_df = strip_dup_spans(docs, w=args.w, min_count=args.min_count,
+                                 cross_doc=args.cross_doc,
+                                 hasher=args.hasher)
+    else:
+        out_df = dup_span_stats(docs, w=args.w, min_count=args.min_count,
+                                cross_doc=args.cross_doc,
+                                hasher=args.hasher)
+    out_df.write.mode("overwrite").parquet(args.output)
+    dt = time.perf_counter() - t0
+    report = {"output": args.output, "mode": "strip" if args.strip else "stats",
+              "n_docs": n_in, "w": args.w, "spans_sec": round(dt, 2),
+              "docs_per_sec": round(n_in / dt, 1) if dt > 0 else None}
+    if not args.strip:
+        st = spark.read.parquet(args.output)
+        report["docs_flagged"] = st.filter(F.col("n_spans") > 0).count()
+        report["dup_tokens"] = int(
+            st.agg(F.sum("dup_tokens")).first()[0] or 0)
+    print(json.dumps(report))
     return 0
 
 
@@ -241,7 +282,27 @@ def main(argv: list[str] | None = None) -> int:
                     help="parquet of (bench_id, text) eval items to screen against")
     cu.add_argument("--contamination-n", type=int, default=3)
     cu.add_argument("--contamination-threshold", type=float, default=0.5)
+    cu.add_argument("--max-dup-span-fraction", type=float, default=None,
+                    help="drop docs whose duplicated-span token fraction "
+                         "exceeds this (substring-level dedup gate)")
+    cu.add_argument("--span-w", type=int, default=15)
     cu.set_defaults(fn=cmd_curate)
+
+    sp = sub.add_parser(
+        "spans", help="substring-level span dedup: per-doc duplicated-"
+        "span stats, or --strip to remove every duplicated span")
+    sp.add_argument("--input", required=True,
+                    help="raw documents parquet (doc_id, text, ...) / sf dir / table")
+    sp.add_argument("--output", required=True)
+    sp.add_argument("--w", type=int, default=15, help="gram width (tokens)")
+    sp.add_argument("--min-count", type=int, default=2)
+    sp.add_argument("--cross-doc", action="store_true",
+                    help="require grams in >= 2 distinct docs (ignore "
+                         "within-doc repetition)")
+    sp.add_argument("--strip", action="store_true")
+    sp.add_argument("--hasher", choices=["md5", "xx64"], default="xx64",
+                    help="gram hash (xx64 = Spark-native production dial)")
+    sp.set_defaults(fn=cmd_spans)
 
     be = sub.add_parser("bench", help="run the benchmark suite")
     be.add_argument("--input", default="/root/testdata/sf0.1")

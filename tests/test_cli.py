@@ -163,3 +163,38 @@ def test_cli_curate_writes_curated_corpus(capsys, spark, tmp_path):
     assert rep["n_in"] == 4 and rep["n_kept"] == 1 and rep["n_dropped"] == 3
     kept = {r["doc_id"] for r in spark.read.parquet(out_dir).collect()}
     assert kept == {3}
+
+
+def test_cli_spans_stats_and_strip(capsys, spark, tmp_path):
+    """`fts spans` stats mode flags the shared-boilerplate docs; strip
+    mode removes the span; the span gate drops them from curate."""
+    src = str(tmp_path / "raw_sp")
+    boiler = ("shared boilerplate one two three four five six seven "
+              "eight nine ten eleven twelve")
+    spark.createDataFrame(
+        [(1, "unique words aaa bbb ccc ddd eee fff " + boiler),
+         (2, "other body ggg hhh iii jjj kkk lll " + boiler),
+         (3, "completely clean document with only original words here")],
+        "doc_id long, text string").write.parquet(src)
+
+    out = str(tmp_path / "sp_stats")
+    rc = cli.main(["spans", "--input", src, "--output", out, "--w", "8"])
+    assert rc == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["docs_flagged"] == 2 and rep["dup_tokens"] > 0
+
+    out2 = str(tmp_path / "sp_strip")
+    rc = cli.main(["spans", "--input", src, "--output", out2, "--w", "8",
+                   "--strip"])
+    assert rc == 0
+    rows = {r["doc_id"]: r["clean_text"]
+            for r in spark.read.parquet(out2).collect()}
+    assert "boilerplate" not in rows[1] and "boilerplate" not in rows[2]
+    assert "unique" in rows[1] and rows[3].startswith("completely")
+
+    out3 = str(tmp_path / "sp_curated")
+    rc = cli.main(["curate", "--input", src, "--output", out3,
+                   "--max-dup-span-fraction", "0.3", "--span-w", "8"])
+    assert rc == 0
+    rep3 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep3["n_kept"] == 1  # only the clean doc survives the gate

@@ -110,3 +110,33 @@ def test_xx64_hasher_same_spans(planted):
     b = sorted(map(tuple, spans.dup_span_intervals(
         planted, w=15, hasher="xx64").collect()))
     assert a == b
+
+
+def test_span_structural_invariants(planted):
+    """Structural invariants over every produced row: spans lie inside
+    the document, are at least w tokens, pairwise disjoint and
+    gap-separated (adjacent/overlapping grams were merged), and the
+    per-doc stats exactly account for them."""
+    w = 15
+    iv = spans.dup_span_intervals(planted, w=w).collect()
+    st = {r["doc_id"]: r for r in spans.dup_span_stats(planted, w=w).collect()}
+
+    per_doc: dict = {}
+    for r in iv:
+        per_doc.setdefault(r["doc_id"], []).append(
+            (r["span_start"], r["span_end"], r["span_tokens"]))
+    for did, ss in per_doc.items():
+        total = st[did]["total_tokens"]
+        ss.sort()
+        prev_end = -1
+        for s, e, n in ss:
+            assert 0 <= s < e <= total
+            assert n == e - s >= w
+            assert s > prev_end  # merged: no overlap, no adjacency
+            prev_end = e
+        assert st[did]["n_spans"] == len(ss)
+        assert st[did]["dup_tokens"] == sum(n for _, _, n in ss)
+        assert st[did]["dup_tokens"] <= total
+    for did, r in st.items():
+        if did not in per_doc:
+            assert r["n_spans"] == 0 and r["dup_tokens"] == 0
