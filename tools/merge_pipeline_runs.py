@@ -55,7 +55,8 @@ def merge(runs: list[dict]) -> dict:
                           ("pq_batch_rerank", "pq_batch_qps"),
                           ("ivfpq_batch", "ivfpq_batch_qps"),
                           ("ivfpq_res_search", "ivfpq_res_qps"),
-                          ("ivfpq_res_batch", "ivfpq_res_batch_qps")]:
+                          ("ivfpq_res_batch", "ivfpq_res_batch_qps"),
+                          ("ivfpq_res_hq", "ivfpq_res_hq_qps")]:
         sk = base_k + "_sec"
         if sk in out:
             out[qps_k] = round(n_q / out[sk], 1)
